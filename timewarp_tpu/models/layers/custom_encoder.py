@@ -1,0 +1,106 @@
+"""Position-aware transformer encoder stack.
+
+Reference: modules/layers/custom_attention_encoder.py:24-219 (encoder layer
+with pluggable position-dependent self-attention, post-LN, ReLU/GELU FFN)
+and modules/layers/custom_transformer_block.py (in-MLP -> encoder stack ->
+out-MLP threading positions).
+
+The pairwise-distance matrix is computed once upstream and passed in
+(``dists``), replacing the reference's mutable score cache.
+"""
+import dataclasses
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from timewarp_tpu.models.layers.kernel_attention import (
+    KernelAttentionConfig,
+    KernelSelfAttention,
+)
+from timewarp_tpu.models.layers.local_attention import (
+    LocalAttentionConfig,
+    LocalSelfAttention,
+)
+from timewarp_tpu.models.layers.mlp import MLP
+
+
+@dataclasses.dataclass
+class CustomAttentionEncoderConfig:
+    """Reference: modules/layers/custom_attention_encoder.py:126-137."""
+
+    d_model: int = 128
+    dim_feedforward: int = 2048
+    num_heads: int = 6
+    attention_type: str = "kernel"  # kernel | learnable_kernel | chebyshev_kernel | local
+    lengthscales: Optional[Sequence[float]] = None
+    normalise_kernel_values: bool = True
+    max_radius: Optional[float] = None
+    max_neighbors: int = 32
+    cheb_order: Optional[int] = None
+    force_asymptotic_zero: bool = False
+    activation: str = "relu"
+
+    def attention_config(self):
+        if self.attention_type == "local":
+            assert self.max_radius is not None
+            return LocalAttentionConfig(
+                num_heads=self.num_heads,
+                max_radius=self.max_radius,
+                max_neighbors=self.max_neighbors,
+            )
+        assert self.lengthscales, "kernel attention needs lengthscales"
+        return KernelAttentionConfig(
+            lengthscales=tuple(self.lengthscales),
+            normalise_kernel_values=self.normalise_kernel_values,
+            learnable_lengthscales=self.attention_type == "learnable_kernel",
+            cheb_order=self.cheb_order if self.attention_type == "chebyshev_kernel" else None,
+            force_asymptotic_zero=self.force_asymptotic_zero,
+        )
+
+
+class CustomEncoderLayer(nn.Module):
+    config: CustomAttentionEncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        src: jnp.ndarray,  # [B, V, d_model]
+        dists: jnp.ndarray,  # [B, V, V]
+        masked_elements: jnp.ndarray,  # [B, V]
+    ) -> jnp.ndarray:
+        cfg = self.config
+        attn_cfg = cfg.attention_config()
+        if isinstance(attn_cfg, LocalAttentionConfig):
+            attn = LocalSelfAttention(attn_cfg, cfg.d_model, name="self_attn")
+        else:
+            attn = KernelSelfAttention(attn_cfg, cfg.d_model, name="self_attn")
+
+        act = nn.relu if cfg.activation == "relu" else nn.gelu
+        src2 = attn(src, dists, masked_elements)
+        src = nn.LayerNorm()(src + src2)
+        src2 = nn.Dense(cfg.d_model)(act(nn.Dense(cfg.dim_feedforward)(src)))
+        return nn.LayerNorm()(src + src2)
+
+
+class CustomAttentionTransformerBlock(nn.Module):
+    """in-MLP -> position-aware encoder layers -> out-MLP."""
+
+    output_dim: int
+    mlp_hidden_dims: Sequence[int]
+    num_layers: int
+    config: CustomAttentionEncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_seq: jnp.ndarray,  # [B, V, input_dim]
+        dists: jnp.ndarray,  # [B, V, V]
+        masked_elements: jnp.ndarray,  # [B, V]
+    ) -> jnp.ndarray:
+        h = MLP(self.mlp_hidden_dims, self.config.d_model, name="in_mlp")(input_seq)
+        for i in range(self.num_layers):
+            h = CustomEncoderLayer(self.config, name=f"layer_{i}")(
+                h, dists, masked_elements
+            )
+        return MLP(self.mlp_hidden_dims, self.output_dim, name="out_mlp")(h)
