@@ -1,0 +1,110 @@
+"""Training losses over conditional density models.
+
+Functional counterparts of the reference's loss layer (reference:
+losses.py:305-788). Each loss is a pure function
+``loss_fn(model, params, batch, rng) -> (scalar, metrics_dict)`` so it jits
+and differentiates cleanly; the (loss, model) multimethod dispatch of the
+reference becomes a registry keyed by config name.
+
+Energy-based losses (Acceptance/Energy) take an ``EnergyModel`` -- the
+pure-JAX AMBER potential (timewarp_tpu.physics) -- so the whole objective,
+including the MD energy, is a single differentiable XLA program. The
+reference had to cross into OpenMM/C++ for these (losses.py:359-664).
+"""
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from timewarp_tpu.data.batch import DenseBatch
+
+
+@dataclasses.dataclass
+class LossConfig:
+    """Mirrors reference loss_configs.py:65-69 with nested options."""
+
+    name: str = "nll"  # nll | acceptance | energy | nll_acceptance | ...
+    random_velocs: bool = True
+    # acceptance-loss options (reference: loss_configs.py NLLAndAcceptanceLossConfig)
+    beta: float = 0.0
+    clamp: bool = False
+    num_samples: int = 1
+    high_energy_threshold: float = -1.0
+    # convex combination weights for composite losses
+    weights: Optional[Tuple[float, ...]] = None
+
+
+def resample_velocities(rng: jax.Array, batch: DenseBatch) -> DenseBatch:
+    """Draw x/y velocities from N(0, 1) (the paper's augmented training;
+    reference: losses.py:332-337)."""
+    k1, k2 = jax.random.split(rng)
+    return batch.replace(
+        atom_velocs=jax.random.normal(k1, batch.atom_velocs.shape, batch.atom_velocs.dtype),
+        atom_veloc_targets=jax.random.normal(
+            k2, batch.atom_veloc_targets.shape, batch.atom_veloc_targets.dtype
+        ),
+    )
+
+
+def nll_loss(
+    model,
+    params,
+    batch: DenseBatch,
+    rng: jax.Array,
+    random_velocs: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Mean per-atom negative log-likelihood (reference: losses.py:305-356)."""
+    if random_velocs:
+        batch = resample_velocities(rng, batch)
+    ll = model.apply(
+        params,
+        batch.atom_types,
+        batch.atom_coords,
+        batch.atom_velocs,
+        batch.atom_coord_targets,
+        batch.atom_veloc_targets,
+        batch.masked_elements,
+        method="log_likelihood",
+    )
+    num_atoms = (~batch.masked_elements).sum(axis=1)
+    loss = -(ll / num_atoms).mean()
+    return loss, {"nll_loss": loss}
+
+
+def flipped_nll_loss(model, params, batch, rng, random_velocs=True):
+    """NLL on the time-reversed batch: swap (x, y) and negate velocities
+    (a no-op negation under random_velocs). Reference: losses.py:667-728."""
+    flip = -1.0 if not random_velocs else 1.0
+    flipped = batch.replace(
+        atom_coords=batch.atom_coord_targets,
+        atom_velocs=flip * batch.atom_veloc_targets,
+        atom_coord_targets=batch.atom_coords,
+        atom_veloc_targets=flip * batch.atom_velocs,
+    )
+    loss, metrics = nll_loss(model, params, flipped, rng, random_velocs)
+    return loss, {"flipped_" + k: v for k, v in metrics.items()}
+
+
+def make_loss(config: LossConfig, energy_model=None) -> Callable:
+    """Build loss_fn(model, params, batch, rng) from a config.
+
+    Energy-based losses are attached in timewarp_tpu.physics.losses once an
+    energy model for the batch's molecule is available.
+    """
+    if config.name == "nll":
+        def fn(model, params, batch, rng):
+            return nll_loss(model, params, batch, rng, config.random_velocs)
+        return fn
+    if config.name == "flipped_nll":
+        def fn(model, params, batch, rng):
+            k1, k2 = jax.random.split(rng)
+            l1, m1 = nll_loss(model, params, batch, k1, config.random_velocs)
+            l2, m2 = flipped_nll_loss(model, params, batch, k2, config.random_velocs)
+            return 0.5 * (l1 + l2), {**m1, **m2}
+        return fn
+    if config.name in ("acceptance", "energy", "nll_acceptance", "nll_energy"):
+        from timewarp_tpu.physics.losses import make_energy_loss
+
+        return make_energy_loss(config, energy_model)
+    raise ValueError(f"Unknown loss {config.name!r}")

@@ -81,10 +81,12 @@ class ModelConfig:
     gaussian_density_transformer_config: Optional[object] = None
 
 
-def _flow_from_layers(layers, atom_embedding_dim, cfd: ConditionalFlowDensityConfig):
+def _flow(layer_factory, cfg, cfd: ConditionalFlowDensityConfig):
     return ConditionalFlowDensity(
-        coupling_layers=tuple(layers),
-        atom_embedding_dim=atom_embedding_dim,
+        layer_factory=layer_factory,
+        num_coupling_layers=cfg.num_coupling_layers,
+        position_layer_index_mod_2=cfg.position_layer_index_mod_2,
+        atom_embedding_dim=cfg.atom_embedding_dim,
         use_displacement_as_target=cfd.use_displacement_as_target,
         scale_learnable=cfd.scale_requires_grad,
         ignore_conditional_velocity=cfd.ignore_conditional_velocity,
@@ -92,47 +94,36 @@ def _flow_from_layers(layers, atom_embedding_dim, cfd: ConditionalFlowDensityCon
 
 
 def build_transformer_nvp(cfg: TransformerNVPConfig) -> ConditionalFlowDensity:
-    assert cfg.num_coupling_layers % 2 == 0, "RealNVP needs an even layer count"
     rff = cfg.rff_position_encoder_config or RFFPositionEncoderConfig(0, 1.0, 1.0)
-    layers = [
-        TransformerCouplingLayer(
-            transformed_vars=(
-                "positions"
-                if i % 2 == cfg.position_layer_index_mod_2
-                else "velocities"
-            ),
+
+    def factory(transformed_vars: str, name: str):
+        return TransformerCouplingLayer(
+            transformed_vars=transformed_vars,
             latent_dim=cfg.transformer_hidden_dim,
             mlp_hidden_dims=tuple(cfg.latent_mlp_hidden_dims),
             num_transformer_layers=cfg.num_transformer_layers,
             transformer_config=cfg.transformer_config,
             rff_config=rff,
-            name=f"coupling_{i}",
+            name=name,
         )
-        for i in range(cfg.num_coupling_layers)
-    ]
-    return _flow_from_layers(layers, cfg.atom_embedding_dim, cfg.conditional_flow_density)
+
+    return _flow(factory, cfg, cfg.conditional_flow_density)
 
 
 def build_custom_attention_transformer_nvp(
     cfg: CustomAttentionTransformerNVPConfig,
 ) -> ConditionalFlowDensity:
-    assert cfg.num_coupling_layers % 2 == 0, "RealNVP needs an even layer count"
-    layers = [
-        CustomAttentionCouplingLayer(
-            transformed_vars=(
-                "positions"
-                if i % 2 == cfg.position_layer_index_mod_2
-                else "velocities"
-            ),
+    def factory(transformed_vars: str, name: str):
+        return CustomAttentionCouplingLayer(
+            transformed_vars=transformed_vars,
             encoder_config=cfg.encoder_layer_config,
             mlp_hidden_dims=tuple(cfg.latent_mlp_hidden_dims),
             num_transformer_layers=cfg.num_transformer_layers,
             separate_scales_per_dimension=True,
-            name=f"coupling_{i}",
+            name=name,
         )
-        for i in range(cfg.num_coupling_layers)
-    ]
-    return _flow_from_layers(layers, cfg.atom_embedding_dim, cfg.conditional_flow_density)
+
+    return _flow(factory, cfg, cfg.conditional_flow_density)
 
 
 def build_model(config: ModelConfig):

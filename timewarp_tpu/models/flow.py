@@ -50,18 +50,32 @@ def masked_sum(x: jnp.ndarray, masked_elements: jnp.ndarray) -> jnp.ndarray:
 class ConditionalFlowDensity(nn.Module):
     """The flagship conditional density model.
 
-    ``coupling_layers`` is a list of constructed-but-unbound CouplingLayerBase
-    modules (alternating positions/velocities, built by models/constructor.py).
+    ``layer_factory(transformed_vars, name)`` builds one coupling layer; the
+    chain is ``num_coupling_layers`` alternating positions/velocities layers
+    realised as a ``nn.scan`` over identical pairs (one traced pair body --
+    see models/nvp.py CouplingPair).
     """
 
-    coupling_layers: Sequence[CouplingLayerBase]
+    layer_factory: "callable"
+    num_coupling_layers: int = 8
+    position_layer_index_mod_2: int = 0
     atom_embedding_dim: int = 32
     use_displacement_as_target: bool = True
     scale_learnable: bool = True
     ignore_conditional_velocity: bool = False
 
     def setup(self):
+        from timewarp_tpu.models.nvp import PairChain
+
+        assert self.num_coupling_layers % 2 == 0
         self.atom_embedder = nn.Embed(len(KNOWN_ELEMENTS), self.atom_embedding_dim)
+        self.chain = PairChain(
+            layer_factory=self.layer_factory,
+            num_pairs=self.num_coupling_layers // 2,
+            first_transformed=(
+                "positions" if self.position_layer_index_mod_2 == 0 else "velocities"
+            ),
+        )
         zero = lambda _: jnp.zeros(())
         if self.scale_learnable:
             self.coords_prior_log_scale = self.param("coords_prior_log_scale", zero)
@@ -92,18 +106,10 @@ class ConditionalFlowDensity(nn.Module):
         """Apply the coupling chain; returns (z_coords, z_velocs, logdet_sum).
 
         Density mode (reverse=False) applies layers in order y -> z; sampling
-        mode applies them in reverse order z -> y (reference: flow.py:83-85).
+        mode applies them (and the stacked scan parameters) in reverse order
+        z -> y (reference: flow.py:83-85).
         """
-        order = range(len(self.coupling_layers))
-        if reverse:
-            order = reversed(order)
-        logdet_total = jnp.zeros(z_coords.shape[0], dtype=z_coords.dtype)
-        for i in order:
-            z_coords, z_velocs, logdet = self.coupling_layers[i](
-                z_coords, z_velocs, cond, reverse=reverse
-            )
-            logdet_total = logdet_total + logdet
-        return z_coords, z_velocs, logdet_total
+        return self.chain(z_coords, z_velocs, cond, reverse=reverse)
 
     def _prior_log_prob(self, z_coords, z_velocs, masked_elements):
         lp_c = masked_sum(

@@ -83,8 +83,21 @@ class CustomEncoderLayer(nn.Module):
         return nn.LayerNorm()(src + src2)
 
 
+class _ScanCustomEncoderBody(nn.Module):
+    config: CustomAttentionEncoderConfig
+
+    @nn.compact
+    def __call__(self, h, dists, masked_elements):
+        h = CustomEncoderLayer(self.config, name="layer")(h, dists, masked_elements)
+        return h, None
+
+
 class CustomAttentionTransformerBlock(nn.Module):
-    """in-MLP -> position-aware encoder layers -> out-MLP."""
+    """in-MLP -> position-aware encoder layers -> out-MLP.
+
+    Encoder layers are folded with ``nn.scan`` (one traced body) to keep the
+    XLA graph small -- see TransformerBlock for rationale.
+    """
 
     output_dim: int
     mlp_hidden_dims: Sequence[int]
@@ -99,8 +112,12 @@ class CustomAttentionTransformerBlock(nn.Module):
         masked_elements: jnp.ndarray,  # [B, V]
     ) -> jnp.ndarray:
         h = MLP(self.mlp_hidden_dims, self.config.d_model, name="in_mlp")(input_seq)
-        for i in range(self.num_layers):
-            h = CustomEncoderLayer(self.config, name=f"layer_{i}")(
-                h, dists, masked_elements
-            )
+        stack = nn.scan(
+            _ScanCustomEncoderBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.num_layers,
+            in_axes=(nn.broadcast, nn.broadcast),
+        )(self.config, name="layers")
+        h, _ = stack(h, dists, masked_elements)
         return MLP(self.mlp_hidden_dims, self.output_dim, name="out_mlp")(h)

@@ -73,8 +73,28 @@ class EncoderLayer(nn.Module):
         return nn.LayerNorm()(x + ff)
 
 
+class _ScanEncoderBody(nn.Module):
+    """EncoderLayer adapted to lax.scan carry semantics."""
+
+    num_heads: int
+    dim_feedforward: int
+
+    @nn.compact
+    def __call__(self, h, masked_elements):
+        h = EncoderLayer(self.num_heads, self.dim_feedforward, name="layer")(
+            h, masked_elements
+        )
+        return h, None
+
+
 class TransformerBlock(nn.Module):
-    """in-MLP -> encoder stack -> out-MLP over an atom sequence."""
+    """in-MLP -> encoder stack -> out-MLP over an atom sequence.
+
+    The (identical) encoder layers are folded with ``nn.scan`` so XLA traces
+    ONE layer body regardless of depth -- compile time for the 96-layer
+    flagship flow drops by an order of magnitude versus unrolling, at
+    negligible steady-state cost (the layers are sequential either way).
+    """
 
     output_dim: int
     latent_dim: int
@@ -85,8 +105,12 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, masked_elements: jnp.ndarray) -> jnp.ndarray:
         h = MLP(self.mlp_hidden_dims, self.latent_dim, name="in_mlp")(x)
-        for i in range(self.num_layers):
-            h = EncoderLayer(
-                self.config.n_head, self.config.dim_feedforward, name=f"layer_{i}"
-            )(h, masked_elements)
+        stack = nn.scan(
+            _ScanEncoderBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.num_layers,
+            in_axes=(nn.broadcast,),
+        )(self.config.n_head, self.config.dim_feedforward, name="layers")
+        h, _ = stack(h, masked_elements)
         return MLP(self.mlp_hidden_dims, self.output_dim, name="out_mlp")(h)

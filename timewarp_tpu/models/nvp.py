@@ -120,6 +120,73 @@ class TransformerCouplingLayer(CouplingLayerBase):
         return log_scale, shift
 
 
+class CouplingPair(nn.Module):
+    """One (positions, velocities) pair of coupling layers -- the repeating
+    unit of the RealNVP stack. All pairs are structurally identical, so the
+    full chain is a ``nn.scan`` over pairs: XLA traces ONE pair body instead
+    of the whole unrolled stack (compile-time critical for deep flows).
+
+    ``layer_factory(transformed_vars, name)`` builds one coupling layer; the
+    pair applies (first, second) in density mode and (second, first) with
+    inverted transforms in sampling mode, preserving exact invertibility.
+    """
+
+    layer_factory: "callable" = None
+    first_transformed: str = "positions"
+
+    @nn.compact
+    def __call__(self, carry, cond: Conditioning, reverse: bool = False):
+        z_coords, z_velocs, logdet = carry
+        second_transformed = (
+            "velocities" if self.first_transformed == "positions" else "positions"
+        )
+        layer_a = self.layer_factory(self.first_transformed, "a")
+        layer_b = self.layer_factory(second_transformed, "b")
+        for layer in (layer_a, layer_b) if not reverse else (layer_b, layer_a):
+            z_coords, z_velocs, ld = layer(z_coords, z_velocs, cond, reverse=reverse)
+            logdet = logdet + ld
+        return (z_coords, z_velocs, logdet), None
+
+
+def make_pair_stack(num_pairs: int, reverse: bool):
+    """nn.scan transform over CouplingPair. ``reverse=True`` runs the pairs
+    (and their stacked parameters) in reverse order for sampling mode; both
+    directions share parameters because the transformed module is
+    instantiated under the same name."""
+    return nn.scan(
+        CouplingPair,
+        variable_axes={"params": 0, "buffers": 0},
+        split_rngs={"params": True},
+        length=num_pairs,
+        in_axes=(nn.broadcast, nn.broadcast),
+        reverse=reverse,
+    )
+
+
+class PairChain(nn.Module):
+    """The full coupling chain as a scanned stack of CouplingPairs.
+
+    A compact wrapper so the direction-specific scan transform can be
+    instantiated per call (under one shared parameter scope "pairs") while
+    the parent flow module stays setup-style.
+    """
+
+    layer_factory: "callable"
+    num_pairs: int
+    first_transformed: str = "positions"
+
+    @nn.compact
+    def __call__(self, z_coords, z_velocs, cond: Conditioning, reverse: bool = False):
+        stack = make_pair_stack(self.num_pairs, reverse=reverse)(
+            layer_factory=self.layer_factory,
+            first_transformed=self.first_transformed,
+            name="pairs",
+        )
+        logdet0 = jnp.zeros(z_coords.shape[0], dtype=z_coords.dtype)
+        (z_coords, z_velocs, logdet), _ = stack((z_coords, z_velocs, logdet0), cond, reverse)
+        return z_coords, z_velocs, logdet
+
+
 class CustomAttentionCouplingLayer(CouplingLayerBase):
     encoder_config: CustomAttentionEncoderConfig = dataclasses.field(
         default_factory=CustomAttentionEncoderConfig

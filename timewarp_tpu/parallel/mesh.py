@@ -1,0 +1,37 @@
+"""Device-mesh helpers for SPMD training.
+
+The reference scales with DeepSpeed data parallelism over NCCL
+(reference: train_deepspeed.py:68-120, SURVEY.md section 2.7). The TPU-native
+equivalent is a single ``jax.sharding.Mesh`` over all chips with the batch
+sharded on a ``data`` axis; XLA emits the gradient ``psum`` over ICI
+automatically when the jitted loss averages over the global batch.
+Optimizer-state sharding (ZeRO-1 analogue) lives in training/optim.py.
+"""
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a DenseBatch (or any pytree of [B, ...] arrays) with the batch
+    axis sharded over the mesh. B must divide the mesh size."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
