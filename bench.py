@@ -27,7 +27,7 @@ def main():
     # One dipeptide chain state (B=1, V=24 padded from 22), K proposals/call.
     K = 128
     atom_types, x_coords, x_velocs, _, _, masked = _example_inputs(rng, B=1, V=24)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), atom_types, x_coords, x_velocs, x_coords, x_velocs, masked
     )
 
@@ -58,10 +58,13 @@ def main():
         return yc, logp, p_yx
 
     key = jax.random.PRNGKey(1)
-    out = propose(params, key)
+    # Compile + two warmup sweeps (the first post-compile executions are
+    # slower while the runtime caches settle).
+    for w in range(10):
+        out = propose(params, jax.random.fold_in(key, 1000 + w))
     jax.block_until_ready(out)
 
-    iters = 20
+    iters = 50
     t0 = time.perf_counter()
     for i in range(iters):
         out = propose(params, jax.random.fold_in(key, i))

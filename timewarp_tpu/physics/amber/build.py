@@ -1,0 +1,263 @@
+"""Build an AmberSystem from a parsed PDB topology.
+
+The TPU-native replacement for OpenMM's ForceField.createSystem
+(reference: simulation/md.py:128-187): residue templates assign atom types
+and charges, the bond graph generates angle/torsion terms, parameter tables
+supply constants, and everything lands in dense device arrays
+(physics/system.py).
+
+Impropers are added at 3-coordinated sp2 centers by wildcard lookup with the
+out-of-plane atom chosen by (O > N > H > heavy) priority -- for the n=2,
+phase=180 impropers used by protein force fields the outer-atom order does
+not change the energy.
+"""
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from timewarp_tpu.data.elements import ELEMENT_MASSES
+from timewarp_tpu.data.pdb import Topology
+from timewarp_tpu.physics.amber import params as P
+from timewarp_tpu.physics.amber.residues import (
+    C_TERMINAL,
+    N_TERMINAL,
+    RESIDUES,
+    normalize_h_name,
+)
+from timewarp_tpu.physics.system import (
+    AmberSystem,
+    build_scale_matrices,
+    enumerate_angles,
+    enumerate_propers,
+)
+
+SP2_CENTER_TYPES = {
+    "C", "CA", "CB", "CC", "CK", "CM", "CN", "CQ", "CR", "CV", "CW", "C*",
+    "N", "N*", "N2", "NA",
+}
+
+
+@dataclasses.dataclass
+class BuildReport:
+    total_charge: float
+    missing_dihedrals: List[Tuple[str, str, str, str]]
+    fallback_terminals: List[str]
+
+
+def _assign_types_charges(topology: Topology):
+    """Per-atom (amber_type, charge) via residue templates with terminal
+    variants."""
+    n_res = len(topology.residues)
+    types: List[Optional[str]] = [None] * topology.num_atoms
+    charges = np.zeros(topology.num_atoms, dtype=np.float64)
+    fallback_terminals: List[str] = []
+
+    for res in topology.residues:
+        atom_names = {normalize_h_name(topology.atoms[i].name): i for i in res.atom_indices}
+        is_cap = res.name in ("ACE", "NME", "NHE")
+        is_nterm = (
+            not is_cap
+            and (res.index == 0 or topology.residues[res.index - 1].chain_id != res.chain_id)
+            and ("H2" in atom_names or "H3" in atom_names)
+        )
+        is_cterm = not is_cap and "OXT" in atom_names
+
+        template = dict(RESIDUES.get(res.name) or {})
+        if not template:
+            raise ValueError(f"no AMBER template for residue {res.name!r}")
+
+        if is_nterm:
+            if res.name in N_TERMINAL:
+                template = dict(N_TERMINAL[res.name])
+            else:
+                # Documented approximation: mid-chain charges, terminal
+                # types, residual +1 charge placed on N.
+                fallback_terminals.append(f"N-{res.name}{res.resseq}")
+                template = dict(template)
+                n_type, n_q = template["N"]
+                template["N"] = ("N3", n_q)
+                template.pop("H", None)
+                h_q = (1.0 - sum(q for _, q in template.values())) / 3.0
+                for h in ("H1", "H2", "H3"):
+                    template[h] = ("H", h_q)
+                if "HA" in template:
+                    template["HA"] = ("HP", template["HA"][1])
+        if is_cterm:
+            if res.name in C_TERMINAL:
+                template = dict(C_TERMINAL[res.name])
+            else:
+                fallback_terminals.append(f"C-{res.name}{res.resseq}")
+                template = dict(template)
+                o_q = template["O"][1]
+                # Residual -1 charge split across the carboxylate oxygens.
+                residual = -1.0 - sum(q for _, q in template.values())
+                template["O"] = ("O2", o_q + residual / 2.0)
+                template["OXT"] = ("O2", o_q + residual / 2.0)
+
+        for i in res.atom_indices:
+            name = normalize_h_name(topology.atoms[i].name)
+            if is_nterm and name == "H" and "H1" in template:
+                name = "H1"  # OpenMM PDBs name the NH3+ protons H/H2/H3
+            if name not in template:
+                raise ValueError(
+                    f"atom {topology.atoms[i].name!r} not in template for "
+                    f"{'N-' if is_nterm else 'C-' if is_cterm else ''}{res.name}"
+                )
+            t, q = template[name]
+            types[i] = t
+            charges[i] = q
+
+    return types, charges, fallback_terminals
+
+
+def build_system(
+    topology: Topology,
+    cutoff: Optional[float] = 2.0,
+    gb_model: Optional[str] = "obc2",
+    strict: bool = True,
+) -> Tuple[AmberSystem, BuildReport]:
+    """Parameterize a peptide. Defaults match the reference's implicit
+    presets: 2 nm CutoffNonPeriodic with reaction field + OBC GB
+    (amber99_obc.xml uses the OBC-II variant via GBSAOBCForce;
+    amber14's implicit/obc1.xml uses OBC-I)."""
+    types, charges, fallback_terminals = _assign_types_charges(topology)
+    V = topology.num_atoms
+    bonds = topology.bonds
+
+    # Bonds.
+    bond_k = np.zeros(len(bonds))
+    bond_r0 = np.zeros(len(bonds))
+    for n, (i, j) in enumerate(bonds):
+        bond_k[n], bond_r0[n] = P.bond_param(types[i], types[j])
+
+    # Angles.
+    angle_idx = enumerate_angles(V, bonds)
+    angle_k = np.zeros(len(angle_idx))
+    angle_t0 = np.zeros(len(angle_idx))
+    for n, (i, j, k) in enumerate(angle_idx):
+        angle_k[n], angle_t0[n] = P.angle_param(types[i], types[j], types[k])
+
+    # Proper torsions (+ 1-4 pair list).
+    propers = enumerate_propers(V, bonds)
+    t_idx: List[Tuple[int, int, int, int]] = []
+    t_k: List[float] = []
+    t_n: List[float] = []
+    t_phase: List[float] = []
+    missing: List[Tuple[str, str, str, str]] = []
+    seen = set()
+    pairs_14 = []
+    for (i, j, k, l) in propers:
+        # Skip exact reversed duplicates (each central bond is visited once,
+        # but defensive for symmetric enumerations).
+        if (l, k, j, i) in seen:
+            continue
+        seen.add((i, j, k, l))
+        pairs_14.append((i, l))
+        try:
+            terms = P.dihedral_param(types[i], types[j], types[k], types[l])
+        except KeyError:
+            missing.append((types[i], types[j], types[k], types[l]))
+            continue
+        for kk, per, phase in terms:
+            t_idx.append((i, j, k, l))
+            t_k.append(kk)
+            t_n.append(per)
+            t_phase.append(phase)
+
+    # Impropers at sp2 centers.
+    adj = [[] for _ in range(V)]
+    for i, j in bonds:
+        adj[int(i)].append(int(j))
+        adj[int(j)].append(int(i))
+
+    def priority(idx: int) -> int:
+        t = types[idx]
+        if t in ("O", "O2"):
+            return 0
+        if t.startswith("N"):
+            return 1
+        if t.startswith("H"):
+            return 2
+        return 3
+
+    for c in range(V):
+        if types[c] not in SP2_CENTER_TYPES or len(adj[c]) != 3:
+            continue
+        nbrs = sorted(adj[c], key=priority)
+        l = nbrs[0]
+        i, j = nbrs[1], nbrs[2]
+        p = P.improper_param(types[i], types[j], types[c], types[l])
+        if p is None and priority(nbrs[0]) == 3:
+            continue
+        if p is None:
+            # Try the hydrogens as out-of-plane atom (amide NH2, ring CH).
+            for alt in (nbrs[1], nbrs[2]):
+                rest = [x for x in nbrs if x != alt]
+                p = P.improper_param(types[rest[0]], types[rest[1]], types[c], types[alt])
+                if p is not None:
+                    i, j, l = rest[0], rest[1], alt
+                    break
+        if p is None:
+            continue
+        kk, per, phase = p
+        t_idx.append((i, j, c, l))
+        t_k.append(kk)
+        t_n.append(per)
+        t_phase.append(phase)
+
+    if strict and missing:
+        raise KeyError(f"missing dihedral parameters: {sorted(set(missing))}")
+
+    # Nonbonded.
+    lj_sigma = np.zeros(V)
+    lj_eps = np.zeros(V)
+    for i in range(V):
+        lj_sigma[i], lj_eps[i] = P.lj_param(types[i])
+    scale_coul, scale_lj = build_scale_matrices(V, bonds, np.array(pairs_14))
+
+    # GB radii/screen by element (H on N special-cased).
+    gb_radii = np.zeros(V)
+    gb_screen = np.zeros(V)
+    for a in topology.atoms:
+        el = a.element
+        if el == "H":
+            bonded = topology.atoms[adj[a.index][0]].element if adj[a.index] else "C"
+            gb_radii[a.index] = (
+                P.GB_RADII["H_on_N"] if bonded == "N" else P.GB_RADII["H"]
+            )
+        else:
+            gb_radii[a.index] = P.GB_RADII[el]
+        gb_screen[a.index] = P.GB_SCREEN[el]
+
+    masses = np.array([ELEMENT_MASSES[a.element] for a in topology.atoms])
+
+    system = AmberSystem(
+        masses=jnp.asarray(masses, jnp.float32),
+        charges=jnp.asarray(charges, jnp.float32),
+        bond_idx=jnp.asarray(bonds, jnp.int32),
+        bond_k=jnp.asarray(bond_k, jnp.float32),
+        bond_r0=jnp.asarray(bond_r0, jnp.float32),
+        angle_idx=jnp.asarray(angle_idx, jnp.int32),
+        angle_k=jnp.asarray(angle_k, jnp.float32),
+        angle_theta0=jnp.asarray(angle_t0, jnp.float32),
+        torsion_idx=jnp.asarray(np.array(t_idx, dtype=np.int32).reshape(-1, 4)),
+        torsion_k=jnp.asarray(np.array(t_k), jnp.float32),
+        torsion_n=jnp.asarray(np.array(t_n), jnp.float32),
+        torsion_phase=jnp.asarray(np.array(t_phase), jnp.float32),
+        lj_sigma=jnp.asarray(lj_sigma, jnp.float32),
+        lj_epsilon=jnp.asarray(lj_eps, jnp.float32),
+        scale_coul=jnp.asarray(scale_coul),
+        scale_lj=jnp.asarray(scale_lj),
+        gb_radii=jnp.asarray(gb_radii, jnp.float32),
+        gb_screen=jnp.asarray(gb_screen, jnp.float32),
+        cutoff=cutoff,
+        gb_model=gb_model,
+    )
+    report = BuildReport(
+        total_charge=float(charges.sum()),
+        missing_dihedrals=sorted(set(missing)),
+        fallback_terminals=fallback_terminals,
+    )
+    return system, report
