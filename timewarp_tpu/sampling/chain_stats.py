@@ -1,0 +1,88 @@
+"""Markov-chain statistics.
+
+Fixed-shape device outputs (one row per MH iteration, K proposals wide) are
+converted here into the reference's flattened chain format -- per chain step
+acceptance/probability/energy records (reference: utils/evaluation_utils.py:67-187)
+where each iteration contributes the proposals up to and including the first
+accepted one.
+"""
+import dataclasses
+import pickle
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ChainStats:
+    acceptance_indicator: np.ndarray  # [N] bool
+    acceptance: np.ndarray  # [N] min(1, exp(-exponent))
+    p_xy: np.ndarray  # [N]
+    p_yx: np.ndarray  # [N]
+    exponent: np.ndarray  # [N]
+    energies_pot: np.ndarray  # [N] proposal potential (kT)
+    energies_kin: np.ndarray  # [N]
+    energies_pot_delta: np.ndarray  # [N]
+    energies_kin_delta: np.ndarray  # [N]
+
+    def __len__(self):
+        return len(self.acceptance)
+
+    def __getitem__(self, key):
+        return ChainStats(
+            **{
+                f.name: getattr(self, f.name)[key]
+                for f in dataclasses.fields(self)
+            }
+        )
+
+    def thin(self, step: int) -> "ChainStats":
+        return self[::step]
+
+    @property
+    def acceptance_rate(self) -> float:
+        return float(self.acceptance_indicator.mean())
+
+    def save(self, path):
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @staticmethod
+    def load(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
+def flatten_segment(outputs, max_states: Optional[int] = None):
+    """Convert fixed-[iters, K] device outputs into flattened ChainStats and
+    the number of chain states each iteration contributed (first_idx + 1)."""
+    first_idx = np.asarray(outputs.first_idx)
+    take = first_idx + 1  # states contributed per iteration
+
+    def flat(x):
+        x = np.asarray(x)
+        return np.concatenate([x[i, : take[i]] for i in range(x.shape[0])], axis=0)
+
+    stats = ChainStats(
+        acceptance_indicator=flat(outputs.accepted),
+        acceptance=flat(outputs.p_acc),
+        p_xy=flat(outputs.p_xy),
+        p_yx=flat(outputs.p_yx),
+        exponent=flat(outputs.exponent),
+        energies_pot=flat(outputs.e_pot_y),
+        energies_kin=flat(outputs.e_kin_y),
+        energies_pot_delta=flat(outputs.e_pot_delta),
+        energies_kin_delta=flat(outputs.e_kin_delta),
+    )
+    if max_states is not None:
+        stats = stats[:max_states]
+    return stats, take
+
+
+def concat_stats(parts):
+    return ChainStats(
+        **{
+            f.name: np.concatenate([getattr(p, f.name) for p in parts], axis=0)
+            for f in dataclasses.fields(ChainStats)
+        }
+    )

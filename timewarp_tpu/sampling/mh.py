@@ -1,0 +1,352 @@
+"""On-device Metropolis-Hastings with batched proposals.
+
+The TPU rebuild of the reference's ``sample_with_model`` chain
+(reference: utils/evaluation_utils.py:468-745). One MH iteration draws K
+proposals from the flow, evaluates potential energies with the pure-JAX
+AMBER potential, computes the reverse proposal likelihood, and accepts the
+first proposal that passes -- all inside ONE ``lax.scan`` with static
+shapes, so the whole chain is a single XLA program with zero host
+round-trips (the reference crossed into OpenMM/C++ twice per iteration,
+reference: utils/evaluation_utils.py:628,635).
+
+Variable-length chain bookkeeping (the reference appends a variable prefix
+of proposals per iteration) becomes fixed [iters, K] outputs + the
+first-accepted index; host code flattens them (sampling/chain_stats.py).
+
+Adaptive parallelism (reference: utils/evaluation_utils.py:32-64) changes K,
+i.e. array shapes, so it lives host-side: ``sample_with_model`` runs jitted
+fixed-K segments and rebuckets K between segments from the smoothed
+acceptance rate.
+"""
+import dataclasses
+import math
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from timewarp_tpu.physics.constants import kbT as kbT_fn
+from timewarp_tpu.physics.energy import potential_energy
+from timewarp_tpu.utils.chirality import check_symmetry_change
+
+CHIRALITY_PENALTY = 2000.0  # kT (reference: utils/evaluation_utils.py:642)
+
+
+@dataclasses.dataclass(frozen=True)
+class MHConfig:
+    num_proposal_steps: int = 16  # K
+    accept: bool = True  # False -> accept everything (requires K=1)
+    random_velocs: bool = True
+    resample_velocs: bool = True
+    target_acceptance_per_step: float = 0.9
+    acceptance_rate_smoothing: float = 0.01
+    max_num_proposal_steps: int = 128
+
+
+@struct.dataclass
+class MHState:
+    coords: jnp.ndarray  # [V, 3]
+    velocs: jnp.ndarray  # [V, 3]
+    e_pot: jnp.ndarray  # [] potential of current state (kT)
+
+
+@struct.dataclass
+class SegmentOutputs:
+    """Per-iteration, K-wide records. ``first_idx`` is the index of the
+    first accepted proposal (K-1 when none accepted)."""
+
+    accepted: jnp.ndarray  # [T, K] bool
+    p_acc: jnp.ndarray  # [T, K]
+    p_xy: jnp.ndarray  # [T, K]
+    p_yx: jnp.ndarray  # [T, K]
+    exponent: jnp.ndarray  # [T, K]
+    e_pot_y: jnp.ndarray  # [T, K]
+    e_kin_y: jnp.ndarray  # [T, K]
+    e_pot_delta: jnp.ndarray  # [T, K]
+    e_kin_delta: jnp.ndarray  # [T, K]
+    first_idx: jnp.ndarray  # [T]
+    accepted_any: jnp.ndarray  # [T] bool
+    coords: jnp.ndarray  # [T, V, 3] chain state AFTER the iteration
+    velocs: jnp.ndarray  # [T, V, 3]
+
+
+def compute_num_proposal_steps(
+    acceptance_probability: float,
+    target_acceptance_per_step: float = 0.9,
+    max_num_proposal_steps: int = 100,
+) -> int:
+    """Proposals per iteration so that >= 1 acceptance happens with the
+    target probability (reference: utils/evaluation_utils.py:32-64)."""
+    p_rej = min(max(1.0 - acceptance_probability, 1e-3), 1.0 - 1e-3)
+    raw = math.log(1.0 - target_acceptance_per_step) / math.log(p_rej)
+    if math.isnan(raw):
+        raw = float("inf")
+    return max(int(math.ceil(min(raw, max_num_proposal_steps))), 1)
+
+
+def make_flow_proposal(model, atom_types, masked_elements, random_velocs=True):
+    """Adapt a ConditionalFlowDensity into (propose_fn, reverse_logp_fn)
+    over unpadded single-molecule states.
+
+    atom_types/masked_elements: [1, V] conditioning metadata.
+    """
+
+    def propose_fn(params, rng, x_coords, x_velocs, K):
+        yc, yv, logp = model.apply(
+            params,
+            rng,
+            atom_types,
+            x_coords[None],
+            x_velocs[None],
+            masked_elements,
+            K,
+            method="conditional_sample_with_logp",
+        )
+        return yc[:, 0], yv[:, 0], logp[:, 0]  # [K, V, 3], [K, V, 3], [K]
+
+    def reverse_logp_fn(params, y_coords, y_velocs, x_coords, x_velocs):
+        K = y_coords.shape[0]
+        flip = 1.0 if random_velocs else -1.0
+        return model.apply(
+            params,
+            jnp.tile(atom_types, (K, 1)),
+            y_coords,
+            flip * y_velocs,
+            jnp.tile(x_coords[None], (K, 1, 1)),
+            flip * jnp.tile(x_velocs[None], (K, 1, 1)),
+            jnp.tile(masked_elements, (K, 1)),
+            method="log_likelihood",
+        )  # [K]
+
+    return propose_fn, reverse_logp_fn
+
+
+def make_amber_energy(system, temperature: float = 310.0):
+    """Potential energy in kT units: [.., V, 3] -> [..]."""
+    kT = kbT_fn(temperature)
+
+    def e_pot(coords):
+        if coords.ndim == 2:
+            return potential_energy(system, coords) / kT
+        return jax.vmap(lambda c: potential_energy(system, c))(coords) / kT
+
+    return e_pot
+
+
+def kinetic_energy(velocs, masses, kT, random_velocs: bool):
+    """[..., V, 3] -> [...] (reference: losses.py:23-44)."""
+    if random_velocs:
+        return 0.5 * (velocs**2).sum((-1, -2))
+    return 0.5 * (masses * (velocs**2).sum(-1)).sum(-1) / kT
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "propose_fn",
+        "reverse_logp_fn",
+        "energy_fn",
+        "num_iters",
+        "K",
+        "config",
+    ),
+)
+def mh_segment(
+    params,
+    state: MHState,
+    rng: jax.Array,
+    propose_fn: Callable,
+    reverse_logp_fn: Callable,
+    energy_fn: Callable,
+    masses: jnp.ndarray,
+    kT: float,
+    num_iters: int,
+    K: int,
+    config: MHConfig,
+    chirality_centers: Optional[jnp.ndarray] = None,
+    reference_signs: Optional[jnp.ndarray] = None,
+) -> Tuple[MHState, SegmentOutputs]:
+    """Run ``num_iters`` MH iterations with K proposals each as one scan."""
+
+    def body(state: MHState, key):
+        k_vel, k_prop, k_acc = jax.random.split(key, 3)
+        x_coords, x_velocs = state.coords, state.velocs
+
+        if config.random_velocs and config.resample_velocs:
+            x_velocs = jax.random.normal(k_vel, x_velocs.shape, x_velocs.dtype)
+
+        y_coords, y_velocs, p_xy = propose_fn(params, k_prop, x_coords, x_velocs, K)
+
+        e_pot_x = state.e_pot
+        e_kin_x = kinetic_energy(x_velocs, masses, kT, config.random_velocs)
+        e_pot_y = energy_fn(y_coords)  # [K]
+        e_kin_y = kinetic_energy(y_velocs, masses, kT, config.random_velocs)  # [K]
+
+        if chirality_centers is not None and reference_signs is not None:
+            flipped = check_symmetry_change(y_coords, chirality_centers, reference_signs)
+            e_pot_y = e_pot_y + CHIRALITY_PENALTY * flipped
+
+        e_pot_delta = e_pot_y - e_pot_x
+        e_kin_delta = e_kin_y - e_kin_x
+
+        p_yx = reverse_logp_fn(params, y_coords, y_velocs, x_coords, x_velocs)
+
+        exponent = e_pot_delta + e_kin_delta + p_xy - p_yx  # [K]
+        p_acc = jnp.minimum(1.0, jnp.exp(-exponent))
+
+        if config.accept:
+            u = jax.random.uniform(k_acc, (K,))
+            accepted = u < p_acc
+        else:
+            accepted = jnp.ones((K,), bool)
+
+        accepted_any = accepted.any()
+        first_idx = jnp.where(accepted_any, jnp.argmax(accepted), K - 1)
+
+        new_coords = jnp.where(accepted_any, y_coords[first_idx], x_coords)
+        new_velocs = jnp.where(accepted_any, y_velocs[first_idx], x_velocs)
+        new_e_pot = jnp.where(accepted_any, e_pot_y[first_idx], e_pot_x)
+
+        new_state = MHState(coords=new_coords, velocs=new_velocs, e_pot=new_e_pot)
+        out = SegmentOutputs(
+            accepted=accepted,
+            p_acc=p_acc,
+            p_xy=p_xy,
+            p_yx=p_yx,
+            exponent=exponent,
+            e_pot_y=e_pot_y,
+            e_kin_y=e_kin_y,
+            e_pot_delta=e_pot_delta,
+            e_kin_delta=e_kin_delta,
+            first_idx=first_idx,
+            accepted_any=accepted_any,
+            coords=new_coords,
+            velocs=new_velocs,
+        )
+        return new_state, out
+
+    keys = jax.random.split(rng, num_iters)
+    return jax.lax.scan(body, state, keys)
+
+
+K_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+def _bucket(k: int, max_k: int) -> int:
+    for b in K_BUCKETS:
+        if b >= k:
+            return min(b, max_k)
+    return min(K_BUCKETS[-1], max_k)
+
+
+def sample_with_model(
+    params,
+    propose_fn,
+    reverse_logp_fn,
+    energy_fn,
+    masses,
+    kT: float,
+    initial_coords,
+    initial_velocs,
+    rng,
+    num_samples: int,
+    config: MHConfig = MHConfig(),
+    adaptive_parallelism: bool = False,
+    segment_iters: int = 64,
+    chirality_centers=None,
+    reference_signs=None,
+):
+    """Host driver: run jitted fixed-K MH segments until the chain holds
+    ``num_samples`` states; rebucket K between segments when adaptive.
+
+    Returns (sampled_coords [N, V, 3], sampled_velocs, num_accepted, ChainStats).
+    """
+    from timewarp_tpu.sampling.chain_stats import concat_stats, flatten_segment
+
+    state = MHState(
+        coords=jnp.asarray(initial_coords),
+        velocs=jnp.asarray(initial_velocs),
+        e_pot=energy_fn(jnp.asarray(initial_coords)),
+    )
+
+    acc_prob = 1e-3
+    K = (
+        _bucket(
+            compute_num_proposal_steps(
+                acc_prob, config.target_acceptance_per_step, config.max_num_proposal_steps
+            ),
+            config.max_num_proposal_steps,
+        )
+        if adaptive_parallelism
+        else config.num_proposal_steps
+    )
+
+    all_stats = []
+    coords_parts = [np.asarray(state.coords)[None]]
+    velocs_parts = [np.asarray(state.velocs)[None]]
+    total_states = 1
+    accepted_total = 0
+    seg = 0
+    while total_states < num_samples + 1:
+        rng, seg_rng = jax.random.split(rng)
+        state, outputs = mh_segment(
+            params,
+            state,
+            seg_rng,
+            propose_fn,
+            reverse_logp_fn,
+            energy_fn,
+            masses,
+            kT,
+            segment_iters,
+            K,
+            config,
+            chirality_centers,
+            reference_signs,
+        )
+        stats, take = flatten_segment(outputs)
+        all_stats.append(stats)
+        accepted_total += int(np.asarray(outputs.accepted_any).sum())
+
+        # Chain states: for each iteration, first_idx copies of the previous
+        # state then the new state (matching the reference's bookkeeping,
+        # utils/evaluation_utils.py:709-713).
+        coords_np = np.asarray(outputs.coords)
+        velocs_np = np.asarray(outputs.velocs)
+        first_idx = np.asarray(outputs.first_idx)
+        prev_c = coords_parts[-1][-1]
+        prev_v = velocs_parts[-1][-1]
+        for t in range(segment_iters):
+            reps = int(first_idx[t])
+            if reps:
+                coords_parts.append(np.repeat(prev_c[None], reps, axis=0))
+                velocs_parts.append(np.repeat(prev_v[None], reps, axis=0))
+            coords_parts.append(coords_np[t][None])
+            velocs_parts.append(velocs_np[t][None])
+            prev_c, prev_v = coords_np[t], velocs_np[t]
+            total_states += reps + 1
+
+        # Adaptive K (host-side; shapes change between segments).
+        if adaptive_parallelism:
+            s = config.acceptance_rate_smoothing
+            acc_any = np.asarray(outputs.accepted_any)
+            fi = np.asarray(outputs.first_idx)
+            for t in range(segment_iters):
+                acc_prob = s * float(acc_any[t]) + (1 - s) ** int(fi[t]) * acc_prob
+            K = _bucket(
+                compute_num_proposal_steps(
+                    acc_prob,
+                    config.target_acceptance_per_step,
+                    config.max_num_proposal_steps,
+                ),
+                config.max_num_proposal_steps,
+            )
+        seg += 1
+
+    coords = np.concatenate(coords_parts, axis=0)[: num_samples + 1]
+    velocs = np.concatenate(velocs_parts, axis=0)[: num_samples + 1]
+    stats = concat_stats(all_stats)
+    return coords, velocs, accepted_total, stats
