@@ -1,0 +1,84 @@
+"""Named dataset registry.
+
+The reference maps dataset names to Azure blob paths with expected
+file/point counts for cache validation (reference: utils/dataset_utils.py:103-337).
+This deployment has no blob egress, so entries resolve to local directories
+(raw trajectory dirs or preprocessed PairStores) plus the same validation
+counts; `simulated:` entries are generated on demand with the pure-JAX
+Langevin engine (the TPU-native replacement for the reference's Amulet
+simulation fan-out).
+"""
+import dataclasses
+import os
+from typing import Dict, Optional
+
+from timewarp_tpu.data.datasets import RawMolDynDataset
+
+
+@dataclasses.dataclass
+class DatasetSpec:
+    name: str
+    step_width: int
+    description: str = ""
+    # Local raw-trajectory directory (state0.pdb + arrays.npz pairs).
+    raw_dir: Optional[str] = None
+    # Preprocessed PairStore directory.
+    store_dir: Optional[str] = None
+    # Source PDB to simulate when no data exists.
+    simulate_pdb: Optional[str] = None
+    expected_files: Optional[int] = None
+
+
+REFERENCE_TESTDATA = "/root/reference/testdata/output"
+SIM_TESTDATA = "/root/reference/simulation/testdata"
+
+REGISTRY: Dict[str, DatasetSpec] = {
+    # Tiny on-disk fixtures from the reference checkout (test datasets).
+    "test": DatasetSpec(
+        name="test",
+        step_width=1_000_000,
+        raw_dir=REFERENCE_TESTDATA,
+        description="2 mini-trajectories (2olx 65 atoms, 1hgv 691 atoms)",
+        expected_files=2,
+    ),
+    # AD-1: alanine dipeptide, step_width 1000. The published dataset lives
+    # in private blob storage; here it is generated on demand with the JAX
+    # Langevin engine (tools/e2e_alanine.py recipe).
+    "AD-1": DatasetSpec(
+        name="AD-1",
+        step_width=1000,
+        simulate_pdb=os.path.join(SIM_TESTDATA, "alanine-dipeptide.pdb"),
+        description="alanine dipeptide, 10k pairs @ step_width 1000",
+    ),
+}
+
+
+def get_dataset_spec(name: str) -> DatasetSpec:
+    if name not in REGISTRY:
+        raise KeyError(
+            f"unknown dataset {name!r}; known: {sorted(REGISTRY)}. Register "
+            "local data via DatasetSpec(raw_dir=...) or data_dir config."
+        )
+    return REGISTRY[name]
+
+
+def get_raw_dataset(
+    name: str, data_dir: Optional[str] = None, step_width: Optional[int] = None
+) -> RawMolDynDataset:
+    """Resolve a named dataset (or explicit directory) to a raw dataset."""
+    if data_dir is not None:
+        assert step_width is not None, "explicit data_dir needs step_width"
+        return RawMolDynDataset(data_dir, step_width=step_width)
+    spec = get_dataset_spec(name)
+    if spec.raw_dir is None:
+        raise FileNotFoundError(
+            f"dataset {name!r} has no local raw data; generate it first "
+            "(cli/simulate.py) or pass data_dir."
+        )
+    ds = RawMolDynDataset(spec.raw_dir, step_width=spec.step_width)
+    if spec.expected_files is not None and len(ds.pdb_names) != spec.expected_files:
+        raise RuntimeError(
+            f"dataset {name!r}: expected {spec.expected_files} trajectories, "
+            f"found {len(ds.pdb_names)}"
+        )
+    return ds
