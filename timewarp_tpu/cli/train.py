@@ -1,0 +1,133 @@
+"""Training CLI.
+
+Usage: python -m timewarp_tpu.cli.train <config.yaml> [key=value ...]
+
+Mirrors the reference's entry point (reference: train.py:289-324): YAML
+config + dotlist overrides, resumable output folder, best-valid epoch
+controller. Data parallelism is automatic over all visible devices.
+"""
+import argparse
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+
+from timewarp_tpu.config import TrainingConfig, load_config, save_config
+from timewarp_tpu.data.batch import collate_dense
+from timewarp_tpu.data.datasets import RawMolDynDataset, TrajectoryIterableDataset
+from timewarp_tpu.data.registry import get_raw_dataset
+from timewarp_tpu.losses import make_loss
+from timewarp_tpu.models.constructor import build_model
+from timewarp_tpu.parallel.mesh import make_mesh, shard_batch
+from timewarp_tpu.training.checkpoints import Checkpointer, PeriodicCheckpointer
+from timewarp_tpu.training.logging import (
+    LeaderOnlyLogger,
+    PeriodicLogger,
+    TensorBoardLogger,
+)
+from timewarp_tpu.training.loop import best_valid_loss_controller, run_epoch
+from timewarp_tpu.training.optim import build_optimizer
+from timewarp_tpu.training.train_step import TrainState, make_eval_step, make_train_step
+
+
+def batches_from_dataset(dataset, config: TrainingConfig, mesh=None):
+    """Collate streaming datapoints into (optionally sharded) DenseBatches."""
+    buf = []
+    for dp in dataset:
+        buf.append(dp)
+        if len(buf) == config.batch_size:
+            batch = collate_dense(buf)
+            yield shard_batch(mesh, batch) if mesh is not None else batch
+            buf = []
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config", help="YAML config path")
+    parser.add_argument("overrides", nargs="*", help="dotlist overrides key=value")
+    args = parser.parse_args(argv)
+
+    config = load_config(args.config, args.overrides)
+    if config.randomise_seed:
+        config.seed = int(np.random.default_rng().integers(0, 2**31))
+
+    run_name = f"{config.run_prefix}{config.model_config.model_type}_{config.dataset}"
+    out_dir = os.path.join(config.output_folder, run_name)
+    os.makedirs(out_dir, exist_ok=True)
+    save_config(config, os.path.join(out_dir, "config.yaml"))
+
+    # Data.
+    raw = get_raw_dataset(
+        config.dataset, data_dir=config.data_dir, step_width=config.step_width
+    )
+    train_ds = TrajectoryIterableDataset(raw, shuffle=True, seed=config.seed)
+    valid_ds = TrajectoryIterableDataset(raw, shuffle=False, seed=config.seed)
+
+    # Model/optimizer.
+    model = build_model(config.model_config)
+    first = next(iter(batches_from_dataset(train_ds, config)))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(config.seed),
+        first.atom_types,
+        first.atom_coords,
+        first.atom_velocs,
+        first.atom_coord_targets,
+        first.atom_veloc_targets,
+        first.masked_elements,
+    )
+    optimizer = build_optimizer(config.optimizer_config())
+    state = TrainState.create(params, optimizer)
+
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    loss_fn = make_loss(config.loss)
+    train_step = make_train_step(
+        model, loss_fn, optimizer, mesh=mesh,
+        data_augmentation=config.data_augmentation,
+    )
+    eval_step = make_eval_step(model, loss_fn, mesh=mesh)
+
+    logger = LeaderOnlyLogger(PeriodicLogger(TensorBoardLogger(out_dir)))
+    ckpt = Checkpointer(out_dir)
+    periodic = PeriodicCheckpointer(ckpt, config.min_check_point_iters)
+
+    if config.saved_model_path or ckpt.exists("latest"):
+        try:
+            state, epoch0 = ckpt.restore("latest", state)
+            print(f"resumed from epoch {epoch0}")
+        except Exception as e:  # fresh run
+            print(f"no restorable checkpoint ({e}); starting fresh")
+
+    def train_fn(state, rng, epoch):
+        train_ds.set_epoch(epoch)
+        return run_epoch(
+            train_step, state, batches_from_dataset(train_ds, config, mesh), rng,
+            logger, train=True, checkpointer=periodic, epoch=epoch,
+        )
+
+    def valid_fn(state, rng):
+        _, means, _ = run_epoch(
+            eval_step, state, batches_from_dataset(valid_ds, config, mesh), rng,
+            logger, train=False,
+        )
+        return means
+
+    state, summary = best_valid_loss_controller(
+        state,
+        train_fn,
+        valid_fn,
+        jax.random.PRNGKey(config.seed + 1),
+        num_epochs=config.num_epochs,
+        patience=config.patience,
+        checkpointer=ckpt,
+        logger=logger,
+        run_valid_first=config.run_valid_first,
+    )
+    with open(os.path.join(out_dir, "best_validation_loss.json"), "w") as f:
+        json.dump(summary, f)
+    print("training done:", summary)
+
+
+if __name__ == "__main__":
+    main()

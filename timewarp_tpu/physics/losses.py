@@ -1,0 +1,156 @@
+"""Energy-based training losses (fully differentiable on-device).
+
+Counterparts of the reference's AcceptanceLoss / EnergyLoss
+(reference: losses.py:359-664), which had to evaluate OpenMM energies via a
+host round-trip and custom autograd bridge (utils/openmm/openmm_bridge.py).
+Here the AMBER potential is JAX, so d(loss)/d(params) flows through the
+energy function analytically -- the whole objective is one XLA program.
+
+The reference evaluates energies per-molecule via batch ``segments``; this
+port currently supports single-system batches (every element the same
+molecule, the dominant AD/2AA training mode) with an ``EnergySystems``
+registry hook for the multi-molecule case.
+"""
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from timewarp_tpu.physics.constants import kbT
+from timewarp_tpu.physics.energy import potential_energy
+
+
+@dataclasses.dataclass
+class EnergyModel:
+    """Bound energy evaluator for one molecular system."""
+
+    system: object
+    temperature: float = 310.0
+
+    def potential(self, coords: jnp.ndarray) -> jnp.ndarray:
+        """[B, V, 3] (padded; only the first num_atoms rows are real) ->
+        [B] potential in kT. Padded atoms must be stripped by the caller
+        passing coords already sliced to the system's atom count."""
+        kT = kbT(self.temperature)
+        return jax.vmap(lambda c: potential_energy(self.system, c))(coords) / kT
+
+    @property
+    def masses(self):
+        return self.system.masses
+
+    @property
+    def kT(self) -> float:
+        return kbT(self.temperature)
+
+
+def _sample_and_energies(model, params, batch, rng, energy_model, random_velocs):
+    from timewarp_tpu.sampling.mh import kinetic_energy
+
+    V_sys = energy_model.system.num_atoms
+    if random_velocs:
+        k_v, rng = jax.random.split(rng)
+        x_velocs = jax.random.normal(k_v, batch.atom_velocs.shape)
+    else:
+        x_velocs = batch.atom_velocs
+
+    yc, yv, logp_xy = model.apply(
+        params, rng, batch.atom_types, batch.atom_coords, x_velocs,
+        batch.masked_elements, 1, method="conditional_sample_with_logp",
+    )
+    yc, yv, logp_xy = yc[0], yv[0], logp_xy[0]
+
+    kT = energy_model.kT
+    masses = energy_model.masses
+    e_pot_y = energy_model.potential(yc[:, :V_sys])
+    e_kin_y = kinetic_energy(yv[:, :V_sys], masses, kT, random_velocs)
+    return x_velocs, yc, yv, logp_xy, e_pot_y, e_kin_y
+
+
+def make_energy_loss(config, energy_model: Optional[EnergyModel]) -> Callable:
+    """Build acceptance/energy losses. config: losses.LossConfig."""
+    assert energy_model is not None, "energy losses need an EnergyModel"
+    name = config.name
+    random_velocs = config.random_velocs
+    V_sys = energy_model.system.num_atoms
+
+    def acceptance_loss(model, params, batch, rng) -> Tuple[jnp.ndarray, Dict]:
+        """-log MH acceptance (optionally clamped) + beta * conditional
+        entropy bonus (reference: losses.py:359-556)."""
+        from timewarp_tpu.sampling.mh import kinetic_energy
+
+        x_velocs, yc, yv, logp_xy, e_pot_y, e_kin_y = _sample_and_energies(
+            model, params, batch, rng, energy_model, random_velocs
+        )
+        kT = energy_model.kT
+        masses = energy_model.masses
+        e_pot_x = energy_model.potential(batch.atom_coords[:, :V_sys])
+        e_kin_x = kinetic_energy(x_velocs[:, :V_sys], masses, kT, random_velocs)
+
+        flip = 1.0 if random_velocs else -1.0
+        logp_yx = model.apply(
+            params, batch.atom_types, yc, flip * yv, batch.atom_coords,
+            flip * x_velocs, batch.masked_elements, method="log_likelihood",
+        )
+
+        energy_delta = (e_pot_y - e_pot_x) + (e_kin_y - e_kin_x)
+        neg_log_acceptance = energy_delta + logp_xy - logp_yx
+        if config.clamp:
+            core = jnp.maximum(neg_log_acceptance, 0.0)
+        else:
+            core = neg_log_acceptance
+        total = core + config.beta * logp_xy
+
+        if config.high_energy_threshold > 0:
+            good = energy_delta < config.high_energy_threshold
+            weight = good / jnp.maximum(good.sum(), 1)
+        else:
+            weight = jnp.ones_like(total) / total.shape[0]
+
+        num_atoms = (~batch.masked_elements).sum(axis=1)
+        loss = (weight * total / num_atoms).sum()
+        metrics = {
+            "acceptance_loss": loss,
+            "energy_delta": energy_delta.mean(),
+            "logp_xy": logp_xy.mean(),
+            "logp_yx": logp_yx.mean(),
+            "mh_acceptance_estimate": jnp.minimum(
+                1.0, jnp.exp(-neg_log_acceptance)
+            ).mean(),
+        }
+        return loss, metrics
+
+    def energy_loss(model, params, batch, rng):
+        """E[U(y)] + logp_xy on model samples (reference: losses.py:559-664)."""
+        _, yc, yv, logp_xy, e_pot_y, e_kin_y = _sample_and_energies(
+            model, params, batch, rng, energy_model, random_velocs
+        )
+        energy = e_pot_y + e_kin_y
+        num_atoms = (~batch.masked_elements).sum(axis=1)
+        loss = ((energy + logp_xy) / num_atoms).mean()
+        return loss, {
+            "energy_loss": loss,
+            "sample_energy": energy.mean(),
+            "logp_xy": logp_xy.mean(),
+        }
+
+    if name == "acceptance":
+        return acceptance_loss
+    if name == "energy":
+        return energy_loss
+
+    # Convex combinations with NLL (reference: ConvexCombinationLoss,
+    # losses.py:731-788; NLLAndAcceptanceLossConfig loss_configs.py).
+    from timewarp_tpu.losses import nll_loss
+
+    other = acceptance_loss if name == "nll_acceptance" else energy_loss
+    weights = config.weights or (0.5, 0.5)
+
+    def combined(model, params, batch, rng):
+        k1, k2 = jax.random.split(rng)
+        l_nll, m1 = nll_loss(model, params, batch, k1, random_velocs)
+        l_other, m2 = other(model, params, batch, k2)
+        loss = weights[0] * l_nll + weights[1] * l_other
+        return loss, {**m1, **m2, "combined_loss": loss}
+
+    return combined

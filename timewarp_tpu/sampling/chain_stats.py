@@ -55,13 +55,18 @@ class ChainStats:
 
 def flatten_segment(outputs, max_states: Optional[int] = None):
     """Convert fixed-[iters, K] device outputs into flattened ChainStats and
-    the number of chain states each iteration contributed (first_idx + 1)."""
+    the number of chain states each iteration contributed (first_idx + 1).
+
+    Vectorized: a [T, K] prefix mask selects the first ``take[t]`` proposals
+    of each iteration in order.
+    """
     first_idx = np.asarray(outputs.first_idx)
     take = first_idx + 1  # states contributed per iteration
+    K = np.asarray(outputs.p_acc).shape[1]
+    prefix = np.arange(K)[None, :] < take[:, None]  # [T, K]
 
     def flat(x):
-        x = np.asarray(x)
-        return np.concatenate([x[i, : take[i]] for i in range(x.shape[0])], axis=0)
+        return np.asarray(x)[prefix]
 
     stats = ChainStats(
         acceptance_indicator=flat(outputs.accepted),

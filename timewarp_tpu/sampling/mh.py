@@ -313,29 +313,27 @@ def sample_with_model(
 
         # Chain states: for each iteration, first_idx copies of the previous
         # state then the new state (matching the reference's bookkeeping,
-        # utils/evaluation_utils.py:709-713).
+        # utils/evaluation_utils.py:709-713). Vectorized: repeat indices into
+        # the [1+T] array of states (index 0 = state before the segment).
         coords_np = np.asarray(outputs.coords)
         velocs_np = np.asarray(outputs.velocs)
         first_idx = np.asarray(outputs.first_idx)
-        prev_c = coords_parts[-1][-1]
+        T = segment_iters
+        vals = np.stack([np.arange(T), np.arange(T) + 1], axis=-1).reshape(-1)
+        reps = np.stack([first_idx, np.ones(T, np.int64)], axis=-1).reshape(-1)
+        state_indices = np.repeat(vals, reps)
+        prev = coords_parts[-1][-1]
         prev_v = velocs_parts[-1][-1]
-        for t in range(segment_iters):
-            reps = int(first_idx[t])
-            if reps:
-                coords_parts.append(np.repeat(prev_c[None], reps, axis=0))
-                velocs_parts.append(np.repeat(prev_v[None], reps, axis=0))
-            coords_parts.append(coords_np[t][None])
-            velocs_parts.append(velocs_np[t][None])
-            prev_c, prev_v = coords_np[t], velocs_np[t]
-            total_states += reps + 1
+        coords_parts.append(np.concatenate([prev[None], coords_np])[state_indices])
+        velocs_parts.append(np.concatenate([prev_v[None], velocs_np])[state_indices])
+        total_states += int(reps.sum())
 
         # Adaptive K (host-side; shapes change between segments).
         if adaptive_parallelism:
             s = config.acceptance_rate_smoothing
-            acc_any = np.asarray(outputs.accepted_any)
-            fi = np.asarray(outputs.first_idx)
-            for t in range(segment_iters):
-                acc_prob = s * float(acc_any[t]) + (1 - s) ** int(fi[t]) * acc_prob
+            acc_any = np.asarray(outputs.accepted_any).astype(np.float64)
+            for t in range(T):
+                acc_prob = s * acc_any[t] + (1 - s) ** int(first_idx[t]) * acc_prob
             K = _bucket(
                 compute_num_proposal_steps(
                     acc_prob,

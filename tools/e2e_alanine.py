@@ -97,6 +97,11 @@ def main():
     ap.add_argument("--walkers", type=int, default=32)
     ap.add_argument("--frames", type=int, default=8000)
     ap.add_argument("--train-steps", type=int, default=3000)
+    ap.add_argument("--finetune-steps", type=int, default=0,
+                    help="acceptance-loss fine-tuning steps after NLL training")
+    ap.add_argument("--finetune-weight", type=float, default=0.1)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--mh-samples", type=int, default=4000)
     ap.add_argument("--d-model", type=int, default=128)
     ap.add_argument("--ff", type=int, default=2048)
@@ -195,34 +200,58 @@ def run_train_and_mh(args, topo, system, traj_coords, traj_velocs):
 
     if args.load_params:
         with open(args.load_params, "rb") as f:
-            params = pickle.load(f)
-        params = jax.device_put(params)
-        losses = [float("nan")]
+            params = jax.device_put(pickle.load(f))
         print(f"loaded params <- {args.load_params}", flush=True)
-    else:
+    losses = [float("nan")]
+
+    batches = make_batches(traj_coords, traj_velocs, args.batch_size, nprng, topo)
+
+    def train_phase(params, loss_cfg, steps, lr, tag, energy_model=None):
         optimizer = build_optimizer(
-            OptimizerConfig(learning_rate=1e-4, warmup_steps=1000, clip_grad_norm=1.0)
+            OptimizerConfig(learning_rate=lr, warmup_steps=min(1000, steps // 4 + 1),
+                            clip_grad_norm=1.0)
         )
         state = TrainState.create(params, optimizer)
-        loss_fn = make_loss(LossConfig(name="nll", random_velocs=True))
+        loss_fn = make_loss(loss_cfg, energy_model=energy_model)
         step = make_train_step(model, loss_fn, optimizer, mesh=None, data_augmentation=True)
-
         t0 = time.time()
-        losses = []
-        for i in range(args.train_steps):
+        last = float("nan")
+        for i in range(steps):
             state, metrics = step(state, next(batches), jax.random.PRNGKey(10))
-            if i % 500 == 0 or i == args.train_steps - 1:
-                losses.append(float(metrics["loss"]))
+            if i % 500 == 0 or i == steps - 1:
+                last = float(metrics["loss"])
+                extra = ""
+                if "mh_acceptance_estimate" in metrics:
+                    extra = f" acc~{float(metrics['mh_acceptance_estimate']):.4f}"
                 print(
-                    f"step {i:5d} nll/atom {losses[-1]:8.3f} "
+                    f"[{tag}] step {i:6d} loss {last:9.3f}{extra} "
                     f"({(time.time()-t0)/(i+1)*1000:.0f} ms/step)",
                     flush=True,
                 )
-        params = state.params
-        if args.save_params:
-            with open(args.save_params, "wb") as f:
-                pickle.dump(jax.device_get(params), f)
-            print(f"saved params -> {args.save_params}", flush=True)
+        return state.params, last
+
+    if args.train_steps > 0:
+        params, nll = train_phase(
+            params, LossConfig(name="nll", random_velocs=True),
+            args.train_steps, args.lr, "nll",
+        )
+        losses = [nll]
+    if args.finetune_steps > 0:
+        from timewarp_tpu.physics.losses import EnergyModel
+
+        em = EnergyModel(system=system)
+        cfg = LossConfig(
+            name="nll_acceptance", random_velocs=True, clamp=True,
+            high_energy_threshold=300.0,
+            weights=(1.0 - args.finetune_weight, args.finetune_weight),
+        )
+        params, ft = train_phase(
+            params, cfg, args.finetune_steps, args.lr * 0.3, "finetune", energy_model=em
+        )
+    if args.save_params:
+        with open(args.save_params, "wb") as f:
+            pickle.dump(jax.device_get(params), f)
+        print(f"saved params -> {args.save_params}", flush=True)
 
     # --- 3. MH sampling ---
     atom_types1 = jnp.asarray(np.pad(topo.atom_types[None], ((0, 0), (0, 0))))
