@@ -54,21 +54,22 @@ def nll_loss(
     rng: jax.Array,
     random_velocs: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Mean per-atom negative log-likelihood (reference: losses.py:305-356)."""
+    """Mean per-atom negative log-likelihood (reference: losses.py:305-356).
+
+    Dispatches on the model's canonical loss (``__call__``): per-atom NLL for
+    density models, the ELBO/IWAE surrogate for the CVAE (with its latent
+    RNG), MSE for point-estimate models; force-conditioned baselines receive
+    the batch forces (the reference's (loss, model) multimethod,
+    losses.py:218-238 + batch_to :153-205)."""
+    k_vel, k_latent = jax.random.split(rng)
     if random_velocs:
-        batch = resample_velocities(rng, batch)
-    ll = model.apply(
-        params,
-        batch.atom_types,
-        batch.atom_coords,
-        batch.atom_velocs,
-        batch.atom_coord_targets,
-        batch.atom_veloc_targets,
-        batch.masked_elements,
-        method="log_likelihood",
-    )
-    num_atoms = (~batch.masked_elements).sum(axis=1)
-    loss = -(ll / num_atoms).mean()
+        batch = resample_velocities(k_vel, batch)
+    args = [batch.atom_types, batch.atom_coords, batch.atom_velocs]
+    if getattr(model, "needs_forces", False):
+        args.append(batch.atom_forces)
+    args += [batch.atom_coord_targets, batch.atom_veloc_targets, batch.masked_elements]
+    rngs = {"latent": k_latent} if getattr(model, "needs_latent_rng", False) else None
+    loss = model.apply(params, *args, rngs=rngs)
     return loss, {"nll_loss": loss}
 
 

@@ -8,7 +8,18 @@ controlled by ``position_layer_index_mod_2``.
 import dataclasses
 from typing import List, Optional, Sequence
 
+from timewarp_tpu.models.baselines import (
+    EulerMaruyamaGaussian,
+    InitialStateGaussian,
+    InitialStatePointEstimate,
+    LearnableLinearGaussian,
+)
+from timewarp_tpu.models.cvae import ConditionalVAEModel, TransformerCVAEConfig
 from timewarp_tpu.models.flow import ConditionalFlowDensity
+from timewarp_tpu.models.gaussian_density import (
+    GaussianDensityModel,
+    GaussianDensityTransformerConfig,
+)
 from timewarp_tpu.models.layers.custom_encoder import CustomAttentionEncoderConfig
 from timewarp_tpu.models.layers.rff import RFFPositionEncoderConfig
 from timewarp_tpu.models.layers.transformer import TransformerConfig
@@ -72,13 +83,26 @@ class CustomAttentionTransformerNVPConfig:
 
 
 @dataclasses.dataclass
+class EquivariantNVPConfig:
+    """Reference: model_configs.py:40-45."""
+
+    atom_embedding_dim: int = 32
+    num_coupling_layers: int = 8
+    latent_mlp_hidden_dims: Sequence[int] = (128,)
+    position_layer_index_mod_2: int = 0
+    conditional_flow_density: ConditionalFlowDensityConfig = dataclasses.field(
+        default_factory=ConditionalFlowDensityConfig
+    )
+
+
+@dataclasses.dataclass
 class ModelConfig:
     model_type: str = "custom_attention_transformer_nvp"
     transformer_nvp_config: Optional[TransformerNVPConfig] = None
     custom_transformer_nvp_config: Optional[CustomAttentionTransformerNVPConfig] = None
-    transformer_cvae_config: Optional[object] = None
-    equivariant_nvp_config: Optional[object] = None
-    gaussian_density_transformer_config: Optional[object] = None
+    transformer_cvae_config: Optional[TransformerCVAEConfig] = None
+    equivariant_nvp_config: Optional[EquivariantNVPConfig] = None
+    gaussian_density_transformer_config: Optional[GaussianDensityTransformerConfig] = None
 
 
 def _flow(layer_factory, cfg, cfd: ConditionalFlowDensityConfig):
@@ -126,6 +150,20 @@ def build_custom_attention_transformer_nvp(
     return _flow(factory, cfg, cfg.conditional_flow_density)
 
 
+def build_equivariant_nvp(cfg: EquivariantNVPConfig) -> ConditionalFlowDensity:
+    from timewarp_tpu.models.layers.equivariant import EquivariantCouplingLayer
+
+    def factory(transformed_vars: str, name: str):
+        return EquivariantCouplingLayer(
+            transformed_vars=transformed_vars,
+            features_dim=cfg.atom_embedding_dim,
+            mlp_hidden_dims=tuple(cfg.latent_mlp_hidden_dims),
+            name=name,
+        )
+
+    return _flow(factory, cfg, cfg.conditional_flow_density)
+
+
 def build_model(config: ModelConfig):
     if config.model_type == "transformer_nvp":
         return build_transformer_nvp(config.transformer_nvp_config or TransformerNVPConfig())
@@ -133,9 +171,20 @@ def build_model(config: ModelConfig):
         return build_custom_attention_transformer_nvp(
             config.custom_transformer_nvp_config or CustomAttentionTransformerNVPConfig()
         )
-    if config.model_type in MODEL_TYPES:
-        raise NotImplementedError(
-            f"model_type {config.model_type!r} is recognised but not yet built "
-            "in the TPU port; see models/ roadmap."
+    if config.model_type == "equivariant_nvp":
+        return build_equivariant_nvp(config.equivariant_nvp_config or EquivariantNVPConfig())
+    if config.model_type == "transformer_cvae":
+        return ConditionalVAEModel(config.transformer_cvae_config or TransformerCVAEConfig())
+    if config.model_type == "gaussian_density_transformer":
+        return GaussianDensityModel(
+            config.gaussian_density_transformer_config or GaussianDensityTransformerConfig()
         )
+    if config.model_type == "initial_state_gaussian":
+        return InitialStateGaussian()
+    if config.model_type == "learnable_linear_gaussian":
+        return LearnableLinearGaussian()
+    if config.model_type == "euler_maruyama_gaussian":
+        return EulerMaruyamaGaussian()
+    if config.model_type == "initial_state_point_estimate":
+        return InitialStatePointEstimate()
     raise ValueError(f"Unknown model_type {config.model_type!r}")
