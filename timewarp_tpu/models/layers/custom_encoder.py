@@ -40,6 +40,7 @@ class CustomAttentionEncoderConfig:
     cheb_order: Optional[int] = None
     force_asymptotic_zero: bool = False
     activation: str = "relu"
+    use_pallas: bool = False  # fused TPU attention kernel (ops/attention.py)
 
     def attention_config(self):
         if self.attention_type == "local":
@@ -56,6 +57,7 @@ class CustomAttentionEncoderConfig:
             learnable_lengthscales=self.attention_type == "learnable_kernel",
             cheb_order=self.cheb_order if self.attention_type == "chebyshev_kernel" else None,
             force_asymptotic_zero=self.force_asymptotic_zero,
+            use_pallas=self.use_pallas,
         )
 
 

@@ -110,6 +110,9 @@ class KernelAttentionConfig:
     learnable_lengthscales: bool = False
     cheb_order: Optional[int] = None  # set -> Chebyshev-rational basis
     force_asymptotic_zero: bool = False
+    # Use the fused Pallas TPU kernel (ops/attention.py) for the Gaussian
+    # basis: scores never materialize in HBM. Chebyshev falls back to XLA.
+    use_pallas: bool = False
 
     @property
     def num_heads(self) -> int:
@@ -155,17 +158,26 @@ class KernelSelfAttention(nn.Module):
                 "cheb_coeffs", lambda _: jnp.tile(jnp.asarray(base)[None, :], (H, 1))
             )
 
-        scores = kernel_attention_scores(
-            dists,
-            masked_elements,
-            lengthscales,
-            normalise=cfg.normalise_kernel_values,
-            cheb_coeffs=cheb_coeffs,
-            force_asymptotic_zero=cfg.force_asymptotic_zero,
-        )  # [B, H, V, V]
-
         values = nn.Dense(H * self.d_model, use_bias=False, name="values")(src)
         values = values.reshape(src.shape[0], src.shape[1], H, self.d_model)
-        attended = jnp.einsum("bhvw,bwhd->bvhd", scores, values)
+
+        if cfg.use_pallas and cheb_coeffs is None:
+            from timewarp_tpu.ops.attention import fused_kernel_attention
+
+            attended = fused_kernel_attention(
+                dists, values, masked_elements, lengthscales,
+                cfg.normalise_kernel_values,
+            )  # [B, V, H, D]
+        else:
+            scores = kernel_attention_scores(
+                dists,
+                masked_elements,
+                lengthscales,
+                normalise=cfg.normalise_kernel_values,
+                cheb_coeffs=cheb_coeffs,
+                force_asymptotic_zero=cfg.force_asymptotic_zero,
+            )  # [B, H, V, V]
+            attended = jnp.einsum("bhvw,bwhd->bvhd", scores, values)
+
         attended = attended.reshape(src.shape[0], src.shape[1], H * self.d_model)
         return nn.Dense(self.d_model, use_bias=False, name="out")(attended)
