@@ -17,9 +17,12 @@ from timewarp_tpu.losses import LossConfig
 from timewarp_tpu.models.constructor import (
     ConditionalFlowDensityConfig,
     CustomAttentionTransformerNVPConfig,
+    EquivariantNVPConfig,
     ModelConfig,
     TransformerNVPConfig,
 )
+from timewarp_tpu.models.cvae import TransformerCVAEConfig
+from timewarp_tpu.models.gaussian_density import GaussianDensityTransformerConfig
 from timewarp_tpu.models.layers.custom_encoder import CustomAttentionEncoderConfig
 from timewarp_tpu.models.layers.rff import RFFPositionEncoderConfig
 from timewarp_tpu.models.layers.transformer import TransformerConfig
@@ -83,8 +86,31 @@ _NESTED_TYPES = {
     "transformer_config": TransformerConfig,
     "rff_position_encoder_config": RFFPositionEncoderConfig,
     "conditional_flow_density": ConditionalFlowDensityConfig,
+    "equivariant_nvp_config": EquivariantNVPConfig,
+    "transformer_cvae_config": TransformerCVAEConfig,
+    "gaussian_density_transformer_config": GaussianDensityTransformerConfig,
     "loss": LossConfig,
 }
+
+
+def _coerce(cls, key: str, value):
+    """Schema-driven scalar coercion (YAML parses '1e-4' as a string)."""
+    import typing
+
+    try:
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        return value
+    t = hints.get(key)
+    args = typing.get_args(t)
+    if args:  # Optional[...] and friends
+        non_none = [a for a in args if a is not type(None)]
+        t = non_none[0] if len(non_none) == 1 else t
+    if t is float and isinstance(value, (str, int)):
+        return float(value)
+    if t is int and isinstance(value, str):
+        return int(value)
+    return value
 
 
 def _from_dict(cls, data: Dict[str, Any]):
@@ -103,7 +129,7 @@ def _from_dict(cls, data: Dict[str, Any]):
                 raise ValueError(f"no schema for nested field {key!r}")
             kwargs[key] = _from_dict(sub_cls, value)
         else:
-            kwargs[key] = value
+            kwargs[key] = _coerce(cls, key, value)
     return cls(**kwargs)
 
 
