@@ -1,15 +1,20 @@
-"""Headline benchmark: flow proposal throughput on alanine-dipeptide scale.
+"""Headline benchmark: full Metropolis-Hastings iteration throughput on
+alanine dipeptide (the BASELINE.json north-star metric).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-The north-star metric (BASELINE.json) is AD-1 MH proposals/sec/chip with a
->10k/s target. This currently measures the proposal-generation path of the
-MH chain (flow reverse pass, K proposals per call) on the flagship
-kernel-attention NVP at full size; once the on-device AMBER energy lands the
-metric upgrades to full MH iterations (proposal + energies + reverse logp).
-vs_baseline is value / 10_000 (the BASELINE.json target rate).
+Each MH iteration = K flow proposals + on-device AMBER potential energies of
+all proposals + reverse proposal likelihoods + accept/reject bookkeeping --
+the complete product loop of the reference's evaluate.py --mh
+(utils/evaluation_utils.py:468-745), fused into one lax.scan segment.
+vs_baseline = proposals/sec / 10_000 (the north-star target rate).
+
+Uses trained parameters (runs/ad_params2.pkl or runs/ad_params.pkl) when
+present; random init otherwise (identical compute).
 """
 import json
+import os
+import pickle
 import time
 
 import numpy as np
@@ -19,63 +24,74 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _example_inputs, _flagship_model
-
-    model = _flagship_model()
-    rng = np.random.default_rng(0)
-
-    # One dipeptide chain state (B=1, V=24 padded from 22), K proposals/call.
-    K = 128
-    atom_types, x_coords, x_velocs, _, _, masked = _example_inputs(rng, B=1, V=24)
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), atom_types, x_coords, x_velocs, x_coords, x_velocs, masked
+    from __graft_entry__ import _flagship_model
+    from timewarp_tpu.data.pdb import parse_pdb
+    from timewarp_tpu.physics.amber.build import build_system
+    from timewarp_tpu.physics.constants import kbT
+    from timewarp_tpu.sampling.mh import (
+        MHConfig,
+        MHState,
+        make_amber_energy,
+        make_flow_proposal,
+        mh_segment,
     )
 
-    @jax.jit
-    def propose(params, key):
-        yc, yv, logp = model.apply(
-            params,
-            key,
-            atom_types,
-            x_coords,
-            x_velocs,
-            masked,
-            K,
-            method="conditional_sample_with_logp",
-        )
-        # Reverse-direction likelihood p(x|y) -- the other half of the MH
-        # acceptance computation.
-        p_yx = model.apply(
-            params,
-            jnp.tile(atom_types, (K, 1)),
-            yc[:, 0],
-            yv[:, 0],
-            jnp.tile(x_coords, (K, 1, 1)),
-            jnp.tile(x_velocs, (K, 1, 1)),
-            jnp.tile(masked, (K, 1)),
-            method="log_likelihood",
-        )
-        return yc, logp, p_yx
+    topo = parse_pdb("/root/reference/simulation/testdata/alanine-dipeptide.pdb")
+    system, _ = build_system(topo)
+    V = topo.num_atoms
 
-    key = jax.random.PRNGKey(1)
-    # Compile + two warmup sweeps (the first post-compile executions are
-    # slower while the runtime caches settle).
-    for w in range(10):
-        out = propose(params, jax.random.fold_in(key, 1000 + w))
-    jax.block_until_ready(out)
+    model = _flagship_model()
+    atom_types = jnp.asarray(topo.atom_types)[None]
+    mask = jnp.zeros((1, V), bool)
+    coords0 = jnp.asarray(topo.positions)
+    velocs0 = jnp.zeros((V, 3))
 
-    iters = 50
+    params = None
+    for cand in ("runs/ad_params2.pkl", "runs/ad_params.pkl"):
+        if os.path.exists(cand):
+            with open(cand, "rb") as f:
+                params = jax.device_put(pickle.load(f))
+            break
+    if params is None:
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), atom_types, coords0[None], velocs0[None],
+            coords0[None], velocs0[None], mask,
+        )
+
+    propose_fn, reverse_logp_fn = make_flow_proposal(model, atom_types, mask)
+    energy_fn = make_amber_energy(system)
+    masses = jnp.asarray(system.masses)
+    kT = float(kbT())
+    cfg = MHConfig(num_proposal_steps=64, resample_velocs=True)
+
+    K, iters = 64, 32
+    state = MHState(coords=coords0, velocs=velocs0, e_pot=energy_fn(coords0))
+
+    def run(state, seed):
+        return mh_segment(
+            params, state, jax.random.PRNGKey(seed),
+            propose_fn, reverse_logp_fn, energy_fn, masses, kT,
+            iters, K, cfg,
+        )
+
+    # Compile + warmup.
+    state_w, out = run(state, 0)
+    jax.block_until_ready(out.p_acc)
+    state_w, out = run(state, 1)
+    jax.block_until_ready(out.p_acc)
+
+    reps = 5
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = propose(params, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
+    for r in range(reps):
+        state_w, out = run(state_w, 2 + r)
+    jax.block_until_ready(out.p_acc)
     dt = time.perf_counter() - t0
 
-    proposals_per_sec = K * iters / dt
+    proposals_per_sec = K * iters * reps / dt
     print(
         json.dumps(
             {
-                "metric": "AD-1 flow proposals/sec/chip (K=128, incl. reverse logp)",
+                "metric": "AD-1 full MH proposals/sec/chip (flow + on-device AMBER energy + reverse logp, K=64)",
                 "value": round(proposals_per_sec, 1),
                 "unit": "proposals/s",
                 "vs_baseline": round(proposals_per_sec / 10_000.0, 3),
