@@ -192,10 +192,12 @@ def gb_energy(system: AmberSystem, coords: jnp.ndarray) -> Dict[str, jnp.ndarray
 
     # ACE surface-area term (OpenMM GBSAOBCForce's default SA model). The
     # 28.3919551 kJ/mol/nm^2 constant already includes the 4*pi factor
-    # (it equals 4*pi * 2.25936 kJ/mol/nm^2 surface tension).
+    # (it equals 4*pi * 2.25936 kJ/mol/nm^2 surface tension). Dummy padding
+    # atoms (mass 0, see physics/provider.py) are excluded.
     ratio = system.gb_radii / B
+    real = (system.masses > 0.0).astype(coords.dtype)
     e_sa = (
-        system.surface_tension * (system.gb_radii + GB_PROBE) ** 2 * ratio**6
+        system.surface_tension * (system.gb_radii + GB_PROBE) ** 2 * ratio**6 * real
     ).sum()
     return {"gb": e_gb, "sa": e_sa}
 
