@@ -76,10 +76,13 @@ def _assign_types_charges(topology: Topology):
                 # types, residual +1 charge placed on N.
                 fallback_terminals.append(f"N-{res.name}{res.resseq}")
                 template = dict(template)
+                mid_total = round(sum(q for _, q in template.values()))
                 n_type, n_q = template["N"]
                 template["N"] = ("N3", n_q)
                 template.pop("H", None)
-                h_q = (1.0 - sum(q for _, q in template.values())) / 3.0
+                # Protonation adds +1 to the residue's mid-chain total.
+                target = mid_total + 1.0
+                h_q = (target - sum(q for _, q in template.values())) / 3.0
                 for h in ("H1", "H2", "H3"):
                     template[h] = ("H", h_q)
                 if "HA" in template:
@@ -91,10 +94,14 @@ def _assign_types_charges(topology: Topology):
                 fallback_terminals.append(f"C-{res.name}{res.resseq}")
                 template = dict(template)
                 o_q = template["O"][1]
-                # Residual -1 charge split across the carboxylate oxygens.
-                residual = -1.0 - sum(q for _, q in template.values())
-                template["O"] = ("O2", o_q + residual / 2.0)
-                template["OXT"] = ("O2", o_q + residual / 2.0)
+                total = sum(q for _, q in template.values())
+                # Deprotonation subtracts 1 from the residue's mid-chain
+                # total; O and OXT share the carboxylate charge:
+                # sum_without_O + 2v = mid_total - 1.
+                target = round(total) - 1.0
+                v = (target - (total - o_q)) / 2.0
+                template["O"] = ("O2", v)
+                template["OXT"] = ("O2", v)
 
         for i in res.atom_indices:
             name = normalize_h_name(topology.atoms[i].name)
