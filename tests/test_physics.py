@@ -120,3 +120,36 @@ def test_kinetic_energy_convention(golden):
     ke = 0.5 * (m[None, :] * (d["velocities"] ** 2).sum(-1)).sum(-1)
     rel = np.abs(ke - d["energies"][:, 1]) / d["energies"][:, 1]
     assert np.median(rel) < 0.015
+
+
+def test_augmentation_preserves_energy(golden):
+    """Rigid-transform augmentation must not change potential energies.
+
+    Regression test for a TPU-specific bug: einsum defaults to bf16 matmul
+    precision on TPU, quantizing rotated coordinates by ~0.4% and corrupting
+    stiff bonded energies by 50-200 kJ/mol (geometry.py forces
+    Precision.HIGHEST). On CPU this passes trivially; on TPU it guards the
+    precision override.
+    """
+    import jax
+
+    from timewarp_tpu.data.batch import DenseBatch
+    from timewarp_tpu.physics.energy import batched_potential_energy
+    from timewarp_tpu.utils.geometry import transform_batch
+
+    topo, system, _, d = golden
+    coords = jnp.asarray(d["positions"][:4])
+    B, V = coords.shape[:2]
+    zeros = jnp.zeros((B, V, 3))
+    batch = DenseBatch(
+        atom_types=jnp.tile(jnp.asarray(topo.atom_types)[None], (B, 1)),
+        atom_coords=coords, atom_velocs=zeros, atom_forces=zeros,
+        atom_coord_targets=coords, atom_veloc_targets=zeros,
+        atom_force_targets=zeros, masked_elements=jnp.zeros((B, V), bool),
+        adj_list=jnp.zeros((B, 2, 2), jnp.int32),
+        adj_mask=jnp.zeros((B, 2), bool), names=("x",) * B,
+    )
+    e0 = np.asarray(batched_potential_energy(system, batch.atom_coords))
+    b = transform_batch(jax.random.PRNGKey(0), batch)
+    e1 = np.asarray(batched_potential_energy(system, b.atom_coords))
+    np.testing.assert_allclose(e1, e0, atol=0.05)

@@ -51,7 +51,10 @@ def transform_batch(
     )
 
     def rot(x):  # [B, V, 3] @ R^T
-        return jnp.einsum("bvj,bij->bvi", x, R)
+        # precision=highest: TPU einsum defaults to bf16 matmuls, which
+        # quantizes coordinates by ~0.4% -- catastrophic for stiff bonded
+        # energies (+50..200 kJ/mol per conformation).
+        return jnp.einsum("bvj,bij->bvi", x, R, precision=jax.lax.Precision.HIGHEST)
 
     return batch.replace(
         atom_coords=rot(batch.atom_coords) + t,
