@@ -62,9 +62,9 @@ def main(argv=None):
         model_config = ModelConfig()  # flagship default
     model = build_model(model_config)
 
-    with open(args.params, "rb") as f:
-        params = pickle.load(f)
-    params = jax.device_put(params)
+    from timewarp_tpu.utils.params_io import load_params
+
+    params = load_params(args.params)
 
     atom_types = jnp.asarray(topo.atom_types)[None]
     mask = jnp.zeros((1, V), bool)

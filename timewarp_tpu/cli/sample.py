@@ -53,8 +53,9 @@ def main(argv=None):
     V = topo.num_atoms
     model_config = load_config(args.config).model_config if args.config else ModelConfig()
     model = build_model(model_config)
-    with open(args.params, "rb") as f:
-        params = jax.device_put(pickle.load(f))
+    from timewarp_tpu.utils.params_io import load_params
+
+    params = load_params(args.params)
 
     energy_fn = make_amber_energy(system)
     centers = find_chirality_centers(topo.bonds, V)
