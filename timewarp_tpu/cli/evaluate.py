@@ -13,7 +13,6 @@ written when matplotlib is available.
 import argparse
 import json
 import os
-import pickle
 
 import numpy as np
 
@@ -39,7 +38,6 @@ def main(argv=None):
     from timewarp_tpu.models.constructor import ModelConfig, build_model
     from timewarp_tpu.physics.amber.build import build_system
     from timewarp_tpu.physics.constants import kbT
-    from timewarp_tpu.sampling.chain_stats import ChainStats
     from timewarp_tpu.sampling.evaluation import kinetic_energy_ks
     from timewarp_tpu.sampling.mh import (
         MHConfig,

@@ -9,14 +9,13 @@ controller. Data parallelism is automatic over all visible devices.
 import argparse
 import json
 import os
-import sys
 
 import jax
 import numpy as np
 
 from timewarp_tpu.config import TrainingConfig, load_config, save_config
 from timewarp_tpu.data.batch import collate_dense
-from timewarp_tpu.data.datasets import RawMolDynDataset, TrajectoryIterableDataset
+from timewarp_tpu.data.datasets import TrajectoryIterableDataset
 from timewarp_tpu.data.registry import get_raw_dataset
 from timewarp_tpu.losses import make_loss
 from timewarp_tpu.models.constructor import build_model

@@ -7,9 +7,8 @@ behavior is implemented over dataclasses: unknown fields error, nested
 fields address with dots, deprecated fields are dropped with a warning.
 """
 import dataclasses
-import json
 import warnings
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import yaml
 

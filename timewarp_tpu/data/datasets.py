@@ -12,12 +12,10 @@ Counterparts of the reference's dataset layer
 These are plain-Python host-side iterators; the TPU boundary is the dense
 collation (data/batch.py).
 """
-import dataclasses
 import os
 import random
 from typing import Iterator, List, Optional, Sequence
 
-import numpy as np
 
 from timewarp_tpu.data.batch import MolDynDatapoint, collate_dense
 from timewarp_tpu.data.storage import PairStore

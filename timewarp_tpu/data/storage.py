@@ -18,7 +18,7 @@ Ingestion is resumable: already-ingested PDB names are skipped
 import dataclasses
 import json
 import os
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, List
 
 import numpy as np
 

@@ -7,10 +7,6 @@
   the physical constants of the simulation preset (needs forces)
 - InitialStatePointEstimate: MSE model predicting the initial state
 """
-import dataclasses
-import math
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ flax modules. Coupling flows alternate positions/velocities layers
 controlled by ``position_layer_index_mod_2``.
 """
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 from timewarp_tpu.models.baselines import (
     EulerMaruyamaGaussian,

@@ -15,9 +15,8 @@ coords, pairwise distances) is computed per call and shared by every
 coupling layer; samples are drawn by folding the S proposals into the batch
 axis (static shapes, single compiled program).
 """
-import dataclasses
 import math
-from typing import List, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
@@ -25,7 +24,7 @@ import jax.numpy as jnp
 
 from timewarp_tpu.data.elements import KNOWN_ELEMENTS
 from timewarp_tpu.models.layers.kernel_attention import pairwise_distances
-from timewarp_tpu.models.nvp import Conditioning, CouplingLayerBase
+from timewarp_tpu.models.nvp import Conditioning
 
 
 def centre_of_mass(coords: jnp.ndarray, masked_elements: jnp.ndarray) -> jnp.ndarray:

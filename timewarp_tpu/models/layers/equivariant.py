@@ -10,7 +10,7 @@ the velocity vectors); scales are pure invariants (isotropic, repeated over
 xyz). Features are processed with a dense EGNN-like pass: per-pair MLP over
 (h_i, h_j, invariant pair features) -> masked mean over j -> pointwise MLP.
 """
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

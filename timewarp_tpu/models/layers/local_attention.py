@@ -17,8 +17,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from timewarp_tpu.models.layers.kernel_attention import pairwise_distances
-
 BIG = 1e9
 
 

@@ -17,8 +17,6 @@ the op with the XLA reference implementation (recompute-in-backward), so the
 fused forward is usable inside training too.
 """
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -5,14 +5,11 @@ equality across ranks before epochs (a determinism/race guard). The SPMD
 equivalents here verify that values that must be replica-identical (seeds,
 parameters) actually are, using collectives over the mesh.
 """
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from timewarp_tpu.parallel.mesh import DATA_AXIS
 
 
 def check_replicated(tree, mesh: Mesh, atol: float = 0.0) -> bool:

@@ -12,7 +12,7 @@ phase=180 impropers used by protein force fields the outer-atom order does
 not change the energy.
 """
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

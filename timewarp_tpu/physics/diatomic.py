@@ -5,8 +5,6 @@ diatomic whose equilibrium bond-length density is known analytically,
 p(r) proportional to r^2 exp(-beta k/2 (r - r0)^2), used to sanity-check
 conditional density models and samplers against closed-form truth.
 """
-import dataclasses
-
 import jax.numpy as jnp
 import numpy as np
 

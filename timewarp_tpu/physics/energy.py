@@ -17,8 +17,7 @@ the reference's trajectories:
             E = q_i q_j / (4 pi eps0) (1/r + k_rf r^2 - c_rf), r < cutoff
 - GB-OBC I/II Born radii + pairwise GB energy + ACE SA term
 """
-import math
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,7 @@ LocalEnergyMinimizer, simulation/simulate_trajectory.py:190).
 FIRE (fast inertial relaxation engine) in a lax.scan: robust for cleaning up
 constructed/spliced structures before dynamics.
 """
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

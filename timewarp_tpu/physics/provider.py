@@ -17,11 +17,10 @@ term is masked by ``masses > 0``.
 import dataclasses
 import os
 from collections import OrderedDict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from timewarp_tpu.data.pdb import parse_pdb
 from timewarp_tpu.physics.amber.build import build_system

@@ -9,8 +9,6 @@ Counterparts of the reference's evaluation helpers:
 - ``energy_histogram_overlap``: potential-energy parity between chain and MD
 """
 import dataclasses
-from typing import Dict, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

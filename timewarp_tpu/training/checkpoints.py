@@ -6,12 +6,10 @@ periodic `latest_model` + `best_model` files, and resume-scan of the output
 folder (train.py:215-230). Here a single orbax checkpointer stores the
 TrainState pytree + config + epoch under `latest` / `best` names.
 """
-import dataclasses
 import json
 import os
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
-import numpy as np
 import orbax.checkpoint as ocp
 
 from timewarp_tpu.training.train_step import TrainState

@@ -9,7 +9,7 @@ into the optimizer's injected ``plateau_factor`` hyperparameter).
 """
 import dataclasses
 import time
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Iterable, Optional
 
 import jax
 import numpy as np

@@ -7,7 +7,7 @@ device memory statistics.
 """
 import contextlib
 import time
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 import jax
 

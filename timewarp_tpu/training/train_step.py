@@ -10,12 +10,10 @@ Optimizer-state sharding (the ZeRO-1 analogue of the reference's
 ``zero_optimization stage 1``) shards every optimizer-state leaf that is
 shaped like its parameter along the data axis when divisible.
 """
-import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -6,7 +6,6 @@ sample.py:29-189): Ramachandran maps, bond-length histograms, potential
 energy histograms, torsion transition counts, and a small numpy TICA.
 Matplotlib is optional -- computation functions are importable headless.
 """
-from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -6,8 +6,6 @@ displacement vectors, and flag conformations whose signs differ from a
 reference state (the MH sampler adds a large energy penalty on flips,
 reference: utils/evaluation_utils.py:638-642).
 """
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -4,8 +4,6 @@ Reference: simulation/checknpz.py:1-217 -- NaN/Inf detection, IQR outlier
 screening on energies, and a Gelman-Rubin-style split-R stationarity check.
 """
 import dataclasses
-from typing import Dict
-
 import numpy as np
 
 

@@ -4,8 +4,6 @@ Reference: visualise/visualise.py (PyMOL renderings + PDB writer). PyMOL is
 not in the image; multi-model PDB output feeds any external viewer, and the
 XYZ writer covers quick inspection.
 """
-from typing import Optional, Sequence
-
 import numpy as np
 
 from timewarp_tpu.data.pdb import Topology

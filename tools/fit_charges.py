@@ -11,8 +11,6 @@ back into residues.py.
 
 Run: python tools/fit_charges.py
 """
-import sys
-
 import jax
 
 jax.config.update("jax_platforms", "cpu")
