@@ -93,6 +93,55 @@ def sample_on_batches(
     )
 
 
+def sample_vs_md_conditional(
+    model,
+    params,
+    system,
+    x_coords: jnp.ndarray,  # [V, 3] single conditioning state
+    atom_types: jnp.ndarray,  # [1, V]
+    num_samples: int,
+    step_width: int,
+    rng: jax.Array,
+    temperature: float = 310.0,
+):
+    """Model conditional samples vs on-device MD segments from one state
+    (reference: utils/evaluation_utils.py:356-413, with the OpenMM stepper
+    replaced by the vmapped JAX Langevin engine).
+
+    Returns (model_coords [S, V, 3], md_coords [S, V, 3]).
+    """
+    from timewarp_tpu.physics.integrator import (
+        LangevinConfig,
+        maxwell_boltzmann_velocities,
+        run_segment,
+    )
+
+    V = x_coords.shape[0]
+    mask = jnp.zeros((1, V), bool)
+    k_model, k_md = jax.random.split(rng)
+
+    x_velocs = jax.random.normal(k_model, (1, V, 3))
+    yc, _, _ = model.apply(
+        params, k_model, atom_types, x_coords[None], x_velocs, mask,
+        num_samples, method="conditional_sample_with_logp",
+    )
+    model_coords = yc[:, 0]
+
+    cfg = LangevinConfig(temperature=temperature)
+    keys = jax.random.split(k_md, num_samples)
+    velocs0 = jax.vmap(
+        lambda k: maxwell_boltzmann_velocities(system, k, temperature)
+    )(keys)
+    md_coords, _ = jax.jit(
+        jax.vmap(
+            lambda v, k: run_segment(
+                system, x_coords, v, k, num_steps=step_width, config=cfg
+            )
+        )
+    )(velocs0, keys)
+    return np.asarray(model_coords), np.asarray(md_coords)
+
+
 def kinetic_energy_ks(velocs: np.ndarray, masses: np.ndarray, kT: float) -> float:
     """KS statistic of 2*KE/kT against chi2(3V)
     (reference: evaluate.py:720-746)."""
