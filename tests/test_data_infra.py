@@ -166,3 +166,23 @@ model_config:
     p2.write_text("no_such_field: 1\n")
     with pytest.raises(ValueError):
         load_config(str(p2))
+
+
+def test_prefetch_loader(rng):
+    from timewarp_tpu.data.prefetch import PrefetchLoader
+
+    def factory():
+        for i in range(10):
+            yield np.full((4,), i)
+
+    loader = PrefetchLoader(factory, buffer_size=2, place_fn=lambda x: x * 2)
+    out = list(loader)
+    assert len(out) == 10
+    assert out[3].tolist() == [6, 6, 6, 6]
+
+    def bad_factory():
+        yield np.zeros(2)
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        list(PrefetchLoader(bad_factory, place_fn=lambda x: x))
