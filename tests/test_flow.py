@@ -203,3 +203,34 @@ def test_padding_does_not_change_result(nprng):
         method="log_likelihood",
     )
     np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_padded), atol=1e-4)
+
+
+def test_permutation_invariance(nprng):
+    """Relabeling atoms must not change the likelihood (permutation
+    equivariance of the attention-based flow; reference:
+    equivariance/equivariance_transforms.py Permutation tests)."""
+    from timewarp_tpu.data.batch import DenseBatch
+    from timewarp_tpu.utils.geometry import permute_batch
+
+    cfg = tiny_custom_config("kernel")
+    model = build_model(cfg)
+    inputs = make_inputs(nprng, B=2, V=6, pad=0)
+    atom_types, x_coords, x_velocs, y_coords, y_velocs, mask = inputs
+    params = model.init(jax.random.PRNGKey(0), *inputs)
+    ll = model.apply(params, *inputs, method="log_likelihood")
+
+    batch = DenseBatch(
+        atom_types=atom_types, atom_coords=x_coords, atom_velocs=x_velocs,
+        atom_forces=jnp.zeros_like(x_coords), atom_coord_targets=y_coords,
+        atom_veloc_targets=y_velocs, atom_force_targets=jnp.zeros_like(x_coords),
+        masked_elements=mask, adj_list=jnp.zeros((2, 2, 2), jnp.int32),
+        adj_mask=jnp.zeros((2, 2), bool), names=("a", "b"),
+    )
+    perm = np.asarray([3, 1, 5, 0, 2, 4])
+    pb = permute_batch(batch, perm)
+    ll_p = model.apply(
+        params, pb.atom_types, pb.atom_coords, pb.atom_velocs,
+        pb.atom_coord_targets, pb.atom_veloc_targets, pb.masked_elements,
+        method="log_likelihood",
+    )
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_p), atol=2e-3, rtol=1e-4)

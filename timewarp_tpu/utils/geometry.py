@@ -29,6 +29,31 @@ def random_rotation_matrices(rng: jax.Array, n: int, dtype=jnp.float32) -> jnp.n
     return jax.vmap(lambda k: random_rotation_matrix(k, dtype))(jax.random.split(rng, n))
 
 
+def permute_batch(batch: DenseBatch, permutation) -> DenseBatch:
+    """Permute the atom axis of every per-atom field (padding included) and
+    remap the adjacency lists (reference:
+    equivariance/equivariance_transforms.py Permutation). ``permutation`` is
+    a [V] index array applied to every batch element."""
+    perm = jnp.asarray(permutation)
+    inv = jnp.argsort(perm)
+
+    def p(x):
+        return x[:, perm]
+
+    adj = jnp.where(batch.adj_list >= 0, inv[jnp.clip(batch.adj_list, 0)], batch.adj_list)
+    return batch.replace(
+        atom_types=p(batch.atom_types),
+        atom_coords=p(batch.atom_coords),
+        atom_velocs=p(batch.atom_velocs),
+        atom_forces=p(batch.atom_forces),
+        atom_coord_targets=p(batch.atom_coord_targets),
+        atom_veloc_targets=p(batch.atom_veloc_targets),
+        atom_force_targets=p(batch.atom_force_targets),
+        masked_elements=p(batch.masked_elements),
+        adj_list=adj,
+    )
+
+
 def transform_batch(
     rng: jax.Array,
     batch: DenseBatch,
