@@ -119,11 +119,23 @@ def _assign_types_charges(topology: Topology):
     return types, charges, fallback_terminals
 
 
+def canonical_type_key(types, i, j, k, l):
+    """Direction-canonical atom-type quadruple (shared with
+    tools/fit_torsions.py)."""
+    a, b, c, d = types[i], types[j], types[k], types[l]
+    return (a, b, c, d) if (b, c, a, d) <= (c, b, d, a) else (d, c, b, a)
+
+
 def build_system(
     topology: Topology,
     cutoff: Optional[float] = 2.0,
     gb_model: Optional[str] = "obc2",
     strict: bool = True,
+    # Torsion corrections fitted to the golden frames overfit badly
+    # (held-out force RMSE degrades ~2.5x, tools/fit_torsions.py); keep the
+    # machinery available but OFF until corrections come from more data or
+    # the published ff99SBildn tables.
+    use_fitted_corrections: bool = False,
 ) -> Tuple[AmberSystem, BuildReport]:
     """Parameterize a peptide. Defaults match the reference's implicit
     presets: 2 nm CutoffNonPeriodic with reaction field + OBC GB
@@ -216,6 +228,28 @@ def build_system(
 
     if strict and missing:
         raise KeyError(f"missing dihedral parameters: {sorted(set(missing))}")
+
+    # Fitted torsion Fourier corrections (see tools/fit_torsions.py):
+    # a*cos(n phi) + b*sin(n phi) == k*cos(n phi - gamma) with k=|(a,b)|,
+    # gamma=atan2(b, a); represented as a standard periodic term (the
+    # constant +k offset has no force and is absorbed by the energy
+    # convention offset).
+    try:
+        from timewarp_tpu.physics.amber.fitted_corrections import (
+            TORSION_FOURIER_CORRECTIONS,
+        )
+    except ImportError:
+        TORSION_FOURIER_CORRECTIONS = {}
+    if use_fitted_corrections and TORSION_FOURIER_CORRECTIONS:
+        import math as _math
+
+        for (i, j, k, l) in seen:
+            key = canonical_type_key(types, i, j, k, l)
+            for (n, a, b) in TORSION_FOURIER_CORRECTIONS.get(key, ()):  # type: ignore
+                t_idx.append((i, j, k, l))
+                t_k.append(_math.hypot(a, b))
+                t_n.append(n)
+                t_phase.append(_math.atan2(b, a))
 
     # Nonbonded.
     lj_sigma = np.zeros(V)
