@@ -47,7 +47,7 @@ def main():
     velocs0 = jnp.zeros((V, 3))
 
     params = None
-    for cand in ("runs/ad_params7.pkl", "runs/ad_params6.pkl", "runs/ad_params5.pkl", "runs/ad_params4.pkl", "runs/ad_params2.pkl", "runs/ad_params.pkl"):
+    for cand in ("runs/ad_params8.pkl", "runs/ad_params7.pkl", "runs/ad_params6.pkl", "runs/ad_params5.pkl", "runs/ad_params4.pkl", "runs/ad_params2.pkl", "runs/ad_params.pkl"):
         if os.path.exists(cand):
             with open(cand, "rb") as f:
                 params = jax.device_put(pickle.load(f))

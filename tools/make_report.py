@@ -50,7 +50,7 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     params_path = args.params
     if params_path is None:
-        for cand in ("runs/ad_params7.pkl", "runs/ad_params6.pkl", "runs/ad_params5.pkl", "runs/ad_params4.pkl", "runs/ad_params2.pkl"):
+        for cand in ("runs/ad_params8.pkl", "runs/ad_params7.pkl", "runs/ad_params6.pkl", "runs/ad_params5.pkl", "runs/ad_params4.pkl", "runs/ad_params2.pkl"):
             if os.path.exists(cand):
                 params_path = cand
                 break
