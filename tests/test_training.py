@@ -138,3 +138,77 @@ def test_augmentation_preserves_nll_distribution(rng):
     shifted = transform_batch(jax.random.PRNGKey(2), batch, rotate=False, translate=True)
     moved, _ = loss_fn(model, params, shifted, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(base), float(moved), atol=1e-4)
+
+
+# ---- geometric loss schedule (reference: GeometricLossSchedule, losses.py:791-943) ----
+
+
+def test_scheduled_weights_converge_to_uniform():
+    """factor<1 with positive pre-softmax weights -> uniform in the limit
+    (reference doctest, losses.py:846-858)."""
+    from timewarp_tpu.losses import LossScheduleConfig, scheduled_weights
+
+    sched = LossScheduleConfig(every=1, factor=(0.9,))
+    w = scheduled_weights((1.0, 10.0), sched, jnp.asarray(100))
+    np.testing.assert_allclose(np.asarray(w), [0.5, 0.5], atol=1e-3)
+    # at step 0 the weights are softmax of the raw pre-softmax weights
+    w0 = scheduled_weights((1.0, 10.0), sched, jnp.asarray(0))
+    assert float(w0[1]) > 0.99
+
+
+def test_scheduled_weights_converge_to_delta():
+    """per-loss factor (1, 2) with negative pre-softmax weights -> all mass
+    on the first loss (reference doctest, losses.py:860-874)."""
+    from timewarp_tpu.losses import LossScheduleConfig, scheduled_weights
+
+    sched = LossScheduleConfig(every=1, factor=(1.0, 2.0))
+    w = scheduled_weights((-1.0, -1.0), sched, jnp.asarray(100))
+    np.testing.assert_allclose(np.asarray(w), [1.0, 0.0], atol=1e-6)
+
+
+def test_scheduled_weights_clamped_band():
+    """the cumulative factor is clamped to [minimum, maximum], mirroring the
+    reference's stop-multiplying-outside-the-band behavior."""
+    from timewarp_tpu.losses import LossScheduleConfig, scheduled_weights
+
+    sched = LossScheduleConfig(every=2, factor=(2.0,), maximum=4.0)
+    w_late = scheduled_weights((1.0, 3.0), sched, jnp.asarray(1000))
+    w_cap = scheduled_weights((4.0, 12.0), sched, jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(w_late), np.asarray(w_cap), atol=1e-6)
+
+
+def test_convex_combination_scheduled_in_train_step(rng):
+    """a softmax-weighted NLL+flipped-NLL combination with a geometric
+    schedule runs inside the jitted train step and anneals its weights."""
+    from timewarp_tpu.losses import (
+        LossScheduleConfig,
+        convex_combination,
+        flipped_nll_loss,
+        nll_loss,
+    )
+
+    def nll_fn(model, params, batch, rng, step=0):
+        return nll_loss(model, params, batch, rng)
+
+    def flip_fn(model, params, batch, rng, step=0):
+        return flipped_nll_loss(model, params, batch, rng)
+
+    loss_fn = convex_combination(
+        [nll_fn, flip_fn],
+        pre_softmax_weights=(0.0, 4.0),
+        schedule=LossScheduleConfig(every=1, factor=(0.5,)),
+    )
+    model = tiny_model()
+    batch = make_batch(rng, B=4, V=6)
+    optimizer = build_optimizer(OptimizerConfig(learning_rate=1e-3, warmup_steps=2))
+    state = _init_state(model, batch, optimizer)
+    step = make_train_step(model, loss_fn, optimizer, data_augmentation=False)
+    w1_first = None
+    for _ in range(12):
+        state, metrics = step(state, batch, jax.random.PRNGKey(3))
+        if w1_first is None:
+            w1_first = float(metrics["loss_weight_1"])
+    assert np.isfinite(float(metrics["loss"]))
+    # weight of the second loss decays from ~0.98 toward 0.5
+    assert w1_first > 0.9
+    assert 0.45 < float(metrics["loss_weight_1"]) < 0.62

@@ -21,6 +21,25 @@ from timewarp_tpu.data.batch import DenseBatch
 
 
 @dataclasses.dataclass
+class LossScheduleConfig:
+    """Geometric annealing of the convex-combination softmax weights
+    (reference: GeometricLossSchedule, losses.py:824-943 + LossScheduleConfig
+    loss_configs.py).
+
+    Every ``every`` steps the pre-softmax weights are multiplied by
+    ``factor`` (scalar or per-loss tuple) while the cumulative factor stays
+    within [minimum, maximum]. The reference mutates the loss module from
+    the host loop; here the cumulative factor is a pure function of the step
+    counter, so the whole schedule lives inside the jitted train step.
+    """
+
+    every: int = 1
+    factor: Tuple[float, ...] = (1.0,)
+    maximum: float = float("inf")
+    minimum: float = 0.0
+
+
+@dataclasses.dataclass
 class LossConfig:
     """Mirrors reference loss_configs.py:65-69 with nested options."""
 
@@ -31,8 +50,65 @@ class LossConfig:
     clamp: bool = False
     num_samples: int = 1
     high_energy_threshold: float = -1.0
-    # convex combination weights for composite losses
+    # convex combination weighting for composite losses: fixed weights, or
+    # softmax(pre_softmax_weights) optionally annealed by `schedule`
+    # (reference: ConvexCombinationLoss, losses.py:731-788)
     weights: Optional[Tuple[float, ...]] = None
+    pre_softmax_weights: Optional[Tuple[float, ...]] = None
+    schedule: Optional[LossScheduleConfig] = None
+
+
+def scheduled_weights(
+    pre_softmax_weights: Tuple[float, ...],
+    schedule: Optional[LossScheduleConfig],
+    step: jnp.ndarray,
+) -> jnp.ndarray:
+    """Softmax combination weights at a given train step.
+
+    Pure-function equivalent of the reference's mutate-in-place
+    ``loss_schedule_step`` (losses.py:908-943): after k = step // every
+    applications the pre-softmax weights are ``w0 * factor^k``, with the
+    cumulative factor clamped elementwise to [minimum, maximum] (the
+    reference stops multiplying once the cumulative factor exits the band,
+    which for a monotone factor sequence is exactly this clamp)."""
+    w0 = jnp.asarray(pre_softmax_weights, jnp.float32)
+    if schedule is None:
+        return jax.nn.softmax(w0)
+    factor = jnp.broadcast_to(jnp.asarray(schedule.factor, jnp.float32), w0.shape)
+    k = jnp.asarray(step, jnp.float32) // schedule.every
+    total = jnp.clip(factor**k, schedule.minimum, schedule.maximum)
+    return jax.nn.softmax(w0 * total)
+
+
+def convex_combination(
+    loss_fns,
+    weights: Optional[Tuple[float, ...]] = None,
+    pre_softmax_weights: Optional[Tuple[float, ...]] = None,
+    schedule: Optional[LossScheduleConfig] = None,
+) -> Callable:
+    """Weighted mixture of losses (reference: ConvexCombinationLoss,
+    losses.py:731-788). Either fixed ``weights`` or softmax-normalized
+    ``pre_softmax_weights`` (optionally annealed by ``schedule``)."""
+    assert (weights is None) != (pre_softmax_weights is None), (
+        "exactly one of weights / pre_softmax_weights must be given"
+    )
+
+    def fn(model, params, batch, rng, step=0):
+        if weights is not None:
+            w = jnp.asarray(weights, jnp.float32)
+        else:
+            w = scheduled_weights(pre_softmax_weights, schedule, step)
+        keys = jax.random.split(rng, len(loss_fns))
+        total, metrics = 0.0, {}
+        for i, (lf, k) in enumerate(zip(loss_fns, keys)):
+            li, mi = lf(model, params, batch, k, step=step)
+            total = total + w[i] * li
+            metrics.update(mi)
+            metrics[f"loss_weight_{i}"] = w[i]
+        metrics["combined_loss"] = total
+        return total, metrics
+
+    return fn
 
 
 def resample_velocities(rng: jax.Array, batch: DenseBatch) -> DenseBatch:
@@ -94,11 +170,11 @@ def make_loss(config: LossConfig, energy_model=None) -> Callable:
     energy model for the batch's molecule is available.
     """
     if config.name == "nll":
-        def fn(model, params, batch, rng):
+        def fn(model, params, batch, rng, step=0):
             return nll_loss(model, params, batch, rng, config.random_velocs)
         return fn
     if config.name == "flipped_nll":
-        def fn(model, params, batch, rng):
+        def fn(model, params, batch, rng, step=0):
             k1, k2 = jax.random.split(rng)
             l1, m1 = nll_loss(model, params, batch, k1, config.random_velocs)
             l2, m2 = flipped_nll_loss(model, params, batch, k2, config.random_velocs)

@@ -74,7 +74,7 @@ def make_energy_loss(config, energy_model: Optional[EnergyModel]) -> Callable:
     random_velocs = config.random_velocs
     V_sys = energy_model.system.num_atoms
 
-    def acceptance_loss(model, params, batch, rng) -> Tuple[jnp.ndarray, Dict]:
+    def acceptance_loss(model, params, batch, rng, step=0) -> Tuple[jnp.ndarray, Dict]:
         """-log MH acceptance (optionally clamped) + beta * conditional
         entropy bonus (reference: losses.py:359-556)."""
         from timewarp_tpu.sampling.mh import kinetic_energy
@@ -120,7 +120,7 @@ def make_energy_loss(config, energy_model: Optional[EnergyModel]) -> Callable:
         }
         return loss, metrics
 
-    def energy_loss(model, params, batch, rng):
+    def energy_loss(model, params, batch, rng, step=0):
         """E[U(y)] + logp_xy on model samples (reference: losses.py:559-664)."""
         _, yc, yv, logp_xy, e_pot_y, e_kin_y = _sample_and_energies(
             model, params, batch, rng, energy_model, random_velocs
@@ -140,17 +140,20 @@ def make_energy_loss(config, energy_model: Optional[EnergyModel]) -> Callable:
         return energy_loss
 
     # Convex combinations with NLL (reference: ConvexCombinationLoss,
-    # losses.py:731-788; NLLAndAcceptanceLossConfig loss_configs.py).
-    from timewarp_tpu.losses import nll_loss
+    # losses.py:731-788; NLLAndAcceptanceLossConfig loss_configs.py). Fixed
+    # weights, or softmax(pre_softmax_weights) annealed by the geometric
+    # schedule as a pure function of the step counter.
+    from timewarp_tpu.losses import convex_combination, nll_loss
 
     other = acceptance_loss if name == "nll_acceptance" else energy_loss
-    weights = config.weights or (0.5, 0.5)
 
-    def combined(model, params, batch, rng):
-        k1, k2 = jax.random.split(rng)
-        l_nll, m1 = nll_loss(model, params, batch, k1, random_velocs)
-        l_other, m2 = other(model, params, batch, k2)
-        loss = weights[0] * l_nll + weights[1] * l_other
-        return loss, {**m1, **m2, "combined_loss": loss}
+    def nll_fn(model, params, batch, rng, step=0):
+        return nll_loss(model, params, batch, rng, random_velocs)
 
-    return combined
+    if config.pre_softmax_weights is not None:
+        return convex_combination(
+            [nll_fn, other],
+            pre_softmax_weights=config.pre_softmax_weights,
+            schedule=config.schedule,
+        )
+    return convex_combination([nll_fn, other], weights=config.weights or (0.5, 0.5))

@@ -87,7 +87,7 @@ def make_train_step(
             batch = transform_batch(k_aug, batch)
 
         def compute(params):
-            return loss_fn(model, params, batch, k_loss)
+            return loss_fn(model, params, batch, k_loss, step=state.step)
 
         (loss, metrics), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
