@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -117,3 +118,60 @@ def test_datapoints_iterator(testdata_2olx):
     assert len(dps) == pairs.num_pairs
     if dps:
         assert dps[0].num_atoms == 65
+
+
+def test_collate_sparse(dummy_datapoints):
+    """One-big-graph collation: node offsets, segment ids, static padding
+    (reference: moldyn_sparse_collate_fn, dataloader.py:279-326)."""
+    from timewarp_tpu.data.batch import collate_sparse
+
+    batch = collate_sparse(dummy_datapoints, pad_multiple=8)
+    assert batch.num_graphs == 2
+    assert int(batch.num_nodes) == 8  # 3 + 5
+    assert batch.atom_coords.shape[0] % 8 == 0
+    # second molecule's edges are offset by the first molecule's node count
+    adj = np.asarray(batch.adj_list)[np.asarray(batch.adj_mask)]
+    np.testing.assert_array_equal(adj[2], [3, 4])  # mol5's first bond
+    # segment ids: 3 zeros, 5 ones, padding = num_graphs
+    sid = np.asarray(batch.atom_to_sample_id)
+    np.testing.assert_array_equal(sid[:8], [0, 0, 0, 1, 1, 1, 1, 1])
+    assert (sid[8:] == 2).all()
+
+
+def test_sparse_per_graph_sum_matches_dense(dummy_datapoints):
+    """Per-graph segment reductions drop padding and match a dense masked
+    sum; dense_to_sparse round-trips the same graph."""
+    from timewarp_tpu.data.batch import collate_dense, collate_sparse, dense_to_sparse
+
+    sparse = collate_sparse(dummy_datapoints)
+    dense = collate_dense(dummy_datapoints)
+    per_graph = np.asarray(sparse.per_graph_sum(np.asarray(sparse.atom_coords)))
+    masked = np.asarray(dense.atom_coords) * (~np.asarray(dense.masked_elements))[..., None]
+    np.testing.assert_allclose(per_graph, masked.sum(axis=1), rtol=1e-6)
+
+    roundtrip = dense_to_sparse(dense)
+    np.testing.assert_array_equal(
+        np.asarray(roundtrip.atom_types), np.asarray(sparse.atom_types)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(roundtrip.adj_list), np.asarray(sparse.adj_list)
+    )
+    assert roundtrip.names == sparse.names
+
+
+def test_sparse_batch_jits(dummy_datapoints):
+    """SparseBatch is a pytree; per-graph reduction works under jit."""
+    import jax
+
+    from timewarp_tpu.data.batch import collate_sparse
+
+    batch = collate_sparse(dummy_datapoints)
+
+    @jax.jit
+    def mean_coord_norm(b):
+        n = b.per_graph_sum(jnp.linalg.norm(b.atom_coords, axis=-1))
+        return n / b.per_graph_sum(b.node_mask.astype(jnp.float32))
+
+    out = mean_coord_norm(batch)
+    assert out.shape == (2,)
+    assert np.isfinite(np.asarray(out)).all()

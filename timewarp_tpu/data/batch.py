@@ -198,3 +198,127 @@ def collate_dense(
         names=tuple(d.name for d in datapoints),
     )
     return batch
+
+
+@struct.dataclass
+class SparseBatch:
+    """One-big-graph collation (reference: SparseMolDynBatch,
+    dataloader.py:77-106 + moldyn_sparse_collate_fn :279-326).
+
+    All molecules are concatenated along one node axis with per-node segment
+    ids, the GNN-friendly layout. Unlike the torch version, the node/edge
+    axes are padded to static budgets (``node_mask`` / ``adj_mask``) so the
+    batch jits -- the jraph-style padding idiom. Per-graph reductions are
+    ``jax.ops.segment_sum``-style with ``num_segments = num_graphs``.
+    """
+
+    atom_types: jnp.ndarray  # [N] int32
+    atom_coords: jnp.ndarray  # [N, 3] f32
+    atom_velocs: jnp.ndarray  # [N, 3] f32
+    atom_forces: jnp.ndarray  # [N, 3] f32
+    atom_coord_targets: jnp.ndarray  # [N, 3] f32
+    atom_veloc_targets: jnp.ndarray  # [N, 3] f32
+    atom_force_targets: jnp.ndarray  # [N, 3] f32
+    atom_to_sample_id: jnp.ndarray  # [N] int32; padding nodes -> num_graphs
+    node_mask: jnp.ndarray  # [N] bool; True = real node
+    adj_list: jnp.ndarray  # [E, 2] int32, node ids offset per graph; pad -1
+    adj_mask: jnp.ndarray  # [E] bool; True = real edge
+    names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+
+    @property
+    def num_graphs(self) -> int:
+        return len(self.names)
+
+    @property
+    def num_nodes(self) -> jnp.ndarray:
+        return self.node_mask.sum()
+
+    def per_graph_sum(self, node_values: jnp.ndarray) -> jnp.ndarray:
+        """Segment-reduce node values to per-graph values, [N, ...] ->
+        [num_graphs, ...] (padding nodes fall into an extra dropped bin)."""
+        import jax
+
+        out = jax.ops.segment_sum(
+            node_values, self.atom_to_sample_id, num_segments=self.num_graphs + 1
+        )
+        return out[: self.num_graphs]
+
+
+def collate_sparse(
+    datapoints: Sequence[MolDynDatapoint],
+    pad_multiple: int = 8,
+    max_nodes: Optional[int] = None,
+    max_edges: Optional[int] = None,
+) -> SparseBatch:
+    """Concatenate datapoints into one big graph with static padding.
+
+    Node ids in ``adj_list`` are offset by each molecule's start position
+    (reference: moldyn_sparse_collate_fn, dataloader.py:299-303). Padding
+    nodes carry ``atom_to_sample_id == num_graphs`` so segment reductions
+    over ``num_graphs`` bins drop them.
+    """
+    n_real = int(sum(d.num_atoms for d in datapoints))
+    e_real = int(sum(d.adj_list.shape[0] for d in datapoints))
+    n_tot = max_nodes if max_nodes is not None else round_up(n_real, pad_multiple)
+    e_tot = max_edges if max_edges is not None else round_up(max(e_real, 1), pad_multiple)
+    assert n_tot >= n_real and e_tot >= e_real, "padding budget too small"
+
+    def cat_pad(pieces, total, fill=0.0):
+        flat = np.concatenate(pieces, axis=0)
+        out_shape = (total,) + flat.shape[1:]
+        out = np.full(out_shape, fill, dtype=flat.dtype)
+        out[: flat.shape[0]] = flat
+        return out
+
+    offsets = np.cumsum([0] + [d.num_atoms for d in datapoints])
+    sample_ids = np.concatenate(
+        [np.full(d.num_atoms, i, np.int32) for i, d in enumerate(datapoints)]
+    )
+    adj = [d.adj_list + offsets[i] for i, d in enumerate(datapoints)]
+    return SparseBatch(
+        atom_types=jnp.asarray(cat_pad([d.atom_types for d in datapoints], n_tot)),
+        atom_coords=jnp.asarray(cat_pad([d.atom_coords for d in datapoints], n_tot)),
+        atom_velocs=jnp.asarray(cat_pad([d.atom_velocs for d in datapoints], n_tot)),
+        atom_forces=jnp.asarray(cat_pad([d.atom_forces for d in datapoints], n_tot)),
+        atom_coord_targets=jnp.asarray(
+            cat_pad([d.atom_coord_targets for d in datapoints], n_tot)
+        ),
+        atom_veloc_targets=jnp.asarray(
+            cat_pad([d.atom_veloc_targets for d in datapoints], n_tot)
+        ),
+        atom_force_targets=jnp.asarray(
+            cat_pad([d.atom_force_targets for d in datapoints], n_tot)
+        ),
+        atom_to_sample_id=jnp.asarray(cat_pad([sample_ids], n_tot, fill=len(datapoints))),
+        node_mask=jnp.asarray(np.arange(n_tot) < n_real),
+        adj_list=jnp.asarray(cat_pad(adj, e_tot, fill=-1)),
+        adj_mask=jnp.asarray(np.arange(e_tot) < e_real),
+        names=tuple(d.name for d in datapoints),
+    )
+
+
+def dense_to_sparse(batch: DenseBatch) -> SparseBatch:
+    """Re-collate a DenseBatch as a SparseBatch (host-side)."""
+    points = []
+    types = np.asarray(batch.atom_types)
+    mask = np.asarray(batch.masked_elements)
+    adj = np.asarray(batch.adj_list)
+    adj_mask = np.asarray(batch.adj_mask)
+    arrays = {
+        f: np.asarray(getattr(batch, f))
+        for f in (
+            "atom_coords", "atom_velocs", "atom_forces",
+            "atom_coord_targets", "atom_veloc_targets", "atom_force_targets",
+        )
+    }
+    for b in range(batch.batch_size):
+        n = int((~mask[b]).sum())
+        points.append(
+            MolDynDatapoint(
+                name=batch.names[b] if batch.names else str(b),
+                atom_types=types[b, :n],
+                adj_list=adj[b][adj_mask[b]],
+                **{f: a[b, :n] for f, a in arrays.items()},
+            )
+        )
+    return collate_sparse(points)
