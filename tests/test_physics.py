@@ -32,9 +32,10 @@ def golden():
 
 def test_total_charge_is_near_integer(golden):
     topo, system, report, d = golden
-    # NNQQ zwitterion: total charge 0. The embedded terminal templates are
-    # best-effort ff94 recollections; require < 0.15 e absolute error.
-    assert abs(report.total_charge) < 0.15
+    # NNQQ zwitterion: total charge 0, exactly -- every residue template is
+    # renormalized to its nominal integer total at build time, so no net
+    # monopole can leak into Coulomb/GB regardless of template gaps.
+    assert abs(report.total_charge) < 1e-6
     assert not report.missing_dihedrals
 
 

@@ -116,6 +116,18 @@ def _assign_types_charges(topology: Topology):
             types[i] = t
             charges[i] = q
 
+        # Renormalize the residue to its nominal integer total charge. AMBER
+        # residue libraries sum to an exact integer per residue; a template
+        # whose atoms don't (a transcription gap) would otherwise leave a
+        # spurious net monopole on the whole molecule, which contaminates
+        # Coulomb/GB forces everywhere. Distribute the residual equally so
+        # the correction is minimal (L2) and confined to this residue.
+        idx = list(res.atom_indices)
+        res_total = float(charges[idx].sum())
+        residual = res_total - round(res_total)
+        if abs(residual) > 1e-6:
+            charges[idx] -= residual / len(idx)
+
     return types, charges, fallback_terminals
 
 
