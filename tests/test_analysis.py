@@ -74,3 +74,27 @@ def test_bond_length_distributions():
     assert d.shape == (3, topo.bonds.shape[0])
     # Bonded atoms are 0.9-1.6 Angstrom apart.
     assert (d > 0.08).all() and (d < 0.17).all()
+
+
+def test_atoms_viewer_html(tmp_path):
+    """Self-contained HTML viewer embeds a valid, thinned trajectory
+    (TPU-native stand-in for the reference's Jupyter atoms_viewer,
+    reference: visualise/atoms_viewer/__init__.py)."""
+    import json
+    import re
+
+    from timewarp_tpu.utils.atoms_viewer import write_viewer_html
+
+    rng = np.random.default_rng(0)
+    coords = rng.normal(size=(950, 5, 3)).astype(np.float32)
+    bonds = np.array([[0, 1], [1, 2], [2, 3], [3, 4]])
+    path = write_viewer_html(
+        str(tmp_path / "v.html"), coords, ["C", "H", "N", "O", "S"], bonds
+    )
+    s = open(path).read()
+    data = json.loads(re.search(r"const DATA = (\{.*?\});\n", s, re.S).group(1))
+    assert len(data["frames"]) == 400  # thinned from 950
+    assert len(data["frames"][0]) == 5
+    assert data["bonds"] == bonds.tolist()
+    # .format escaping left no stray template braces in the JS
+    assert "{{" not in s and "}}" not in s

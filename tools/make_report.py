@@ -87,6 +87,16 @@ def main():
     plot_energy_histograms(e_md, e_ch, f"{args.out}/energy_hist.png")
     plot_bond_histograms(md_coords[:2000], coords, topo.bonds, f"{args.out}/bond_hist.png")
 
+    from timewarp_tpu.utils.atoms_viewer import write_viewer_html
+
+    write_viewer_html(
+        f"{args.out}/chain_viewer.html",
+        np.asarray(coords),
+        [a.element for a in topo.atoms],
+        topo.bonds,
+        title="MH chain",
+    )
+
     summary = {
         "params": params_path,
         "mh_acceptance": stats.acceptance_rate,
