@@ -53,9 +53,31 @@ def _attention_kernel(ls_ref, d_ref, v_ref, m_ref, o_ref, *, normalise: bool):
     o_ref[:] = jnp.dot(scores, v_ref[:], preferred_element_type=jnp.float32)
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def _fused_forward(dists, values, masked_elements, lengthscales, normalise=True):
-    B, V, _ = dists.shape
-    H, D = values.shape[2], values.shape[3]
+    B, V_in, _ = dists.shape
+    H, D_in = values.shape[2], values.shape[3]
+
+    # Mosaic requires VMEM blocks aligned to the f32 (8, 128) tile: pad the
+    # atom axis (lanes of the score block) and head dim to 128. Padded keys
+    # enter the mask as padding (score 0); padded query rows/head lanes are
+    # sliced off after the kernel. Molecules are small relative to the MXU,
+    # so the hardware would idle below 128 lanes either way.
+    V = _round_up(V_in, 128)
+    D = _round_up(D_in, 128)
+    if V != V_in:
+        pad = V - V_in
+        dists = jnp.pad(dists, ((0, 0), (0, pad), (0, pad)))
+        values = jnp.pad(values, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        masked_elements = jnp.pad(
+            masked_elements, ((0, 0), (0, pad)), constant_values=True
+        )
+    if D != D_in:
+        values = jnp.pad(values, ((0, 0), (0, 0), (0, 0), (0, D - D_in)))
+
     mask_f = masked_elements.astype(jnp.float32)[:, None, :]  # [B, 1, V]
     # [B, V, H, D] -> [B, H, V, D] so one grid cell sees a contiguous [V, D].
     v_t = values.transpose(0, 2, 1, 3)
@@ -88,7 +110,7 @@ def _fused_forward(dists, values, masked_elements, lengthscales, normalise=True)
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, V, D), jnp.float32),
     )(lengthscales, dists, v_t, mask_f)
-    return out.transpose(0, 2, 1, 3)  # [B, V, H, D]
+    return out.transpose(0, 2, 1, 3)[:, :V_in, :, :D_in]  # [B, V, H, D]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
