@@ -23,10 +23,13 @@ AD_PDB = "/root/reference/simulation/testdata/alanine-dipeptide.pdb"
 
 @pytest.fixture(scope="module")
 def golden():
+    # Matches the reference's legacy "implicit" preset exactly:
+    # CutoffNonPeriodic at 2 nm (OpenMM's NonbondedForce always applies
+    # reaction-field electrostatics under that method) + GBSAOBCForce (OBC2)
+    # with its per-pair 1/r_cutoff shift (reference: simulation/md.py:128-187).
     d = np.load(GOLDEN_NPZ)
     topo = parse_pdb(GOLDEN_STATE0)
     system, report = build_system(topo, gb_model="obc2")
-    system = dataclasses.replace(system, use_reaction_field=False)
     return topo, system, report, d
 
 
@@ -54,11 +57,11 @@ def test_energy_tracks_golden_fluctuations(golden):
     E = np.asarray(batched_potential_energy(system, pos))
     gE = d["energies"][:, 0]
     diff = E - gE
-    # Current status: ~4.4 kJ/mol (~1.7 kT) -- dominated by the missing
-    # ff99SBildn side-chain torsion corrections (TODO tighten to <1 kT).
+    # Current status: ~4.5 kJ/mol (~1.7 kT) -- remaining parameter-table gap
+    # vs amber99sbildn (TODO tighten to <0.5 kJ/mol once closed).
     assert np.std(diff) < 5.0, f"energy fluctuation error {np.std(diff):.2f} kJ/mol"
     # And the constant offset is bounded (convention-level agreement).
-    assert abs(np.mean(diff)) < 60.0, np.mean(diff)
+    assert abs(np.mean(diff)) < 30.0, np.mean(diff)
 
 
 def test_forces_match_golden(golden):

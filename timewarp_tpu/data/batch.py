@@ -313,6 +313,12 @@ def dense_to_sparse(batch: DenseBatch) -> SparseBatch:
     }
     for b in range(batch.batch_size):
         n = int((~mask[b]).sum())
+        # collate_dense always places real atoms as a contiguous prefix; any
+        # other layout would silently pull padding rows into the molecule.
+        if mask[b, :n].any():
+            raise ValueError(
+                f"row {b}: real atoms are not a contiguous prefix of the mask"
+            )
         points.append(
             MolDynDatapoint(
                 name=batch.names[b] if batch.names else str(b),

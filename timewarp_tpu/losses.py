@@ -68,16 +68,28 @@ def scheduled_weights(
     Pure-function equivalent of the reference's mutate-in-place
     ``loss_schedule_step`` (losses.py:908-943): after k = step // every
     applications the pre-softmax weights are ``w0 * factor^k``, with the
-    cumulative factor clamped elementwise to [minimum, maximum] (the
-    reference stops multiplying once the cumulative factor exits the band,
-    which for a monotone factor sequence is exactly this clamp)."""
+    cumulative factor's *magnitude* clamped elementwise to
+    [minimum, maximum]. This is an intentional, cleaner approximation of the
+    reference's gate: the reference stops multiplying (globally, for all
+    losses at once) once any cumulative factor exits the band, so it can
+    overshoot ``maximum`` by one application; the elementwise magnitude
+    clamp never overshoots and freezes each loss independently.
+
+    Handles negative factors (the reference docstring documents
+    factor=[-1, 1]): the sign alternates with parity of k while the clamp
+    applies to |factor|^k only, so (-1)^odd stays -1 instead of being
+    clamped to 0. k is computed in integer arithmetic to stay exact past
+    2^24 steps."""
     w0 = jnp.asarray(pre_softmax_weights, jnp.float32)
     if schedule is None:
         return jax.nn.softmax(w0)
     factor = jnp.broadcast_to(jnp.asarray(schedule.factor, jnp.float32), w0.shape)
-    k = jnp.asarray(step, jnp.float32) // schedule.every
-    total = jnp.clip(factor**k, schedule.minimum, schedule.maximum)
-    return jax.nn.softmax(w0 * total)
+    k = jnp.asarray(step, jnp.int32) // schedule.every
+    sign = jnp.where((factor < 0) & (k % 2 == 1), -1.0, 1.0)
+    magnitude = jnp.clip(
+        jnp.abs(factor) ** k.astype(jnp.float32), schedule.minimum, schedule.maximum
+    )
+    return jax.nn.softmax(w0 * sign * magnitude)
 
 
 def convex_combination(

@@ -125,6 +125,15 @@ def _assign_types_charges(topology: Topology):
         idx = list(res.atom_indices)
         res_total = float(charges[idx].sum())
         residual = res_total - round(res_total)
+        # A residual beyond rounding noise signals a template transcription
+        # error; snapping it to the nearest integer would bake in a wrong,
+        # plausible-looking charge set. Fail loudly instead of smearing.
+        if abs(residual) > 0.2:
+            raise ValueError(
+                f"residue {res.name} (atoms {idx[0]}..{idx[-1]}): template "
+                f"charges sum to {res_total:.4f}, residual {residual:+.4f}e "
+                "exceeds 0.2e — template transcription error?"
+            )
         if abs(residual) > 1e-6:
             charges[idx] -= residual / len(idx)
 
@@ -197,43 +206,35 @@ def build_system(
             t_n.append(per)
             t_phase.append(phase)
 
-    # Impropers at sp2 centers.
+    # Impropers at sp2 centers, replicating OpenMM ForceField's improper
+    # matching + 'default' (AMBER) atom ordering exactly: the improper
+    # dihedral's axis and sign depend on the atom order, so a different
+    # convention changes forces on every sp2 group even when the parameters
+    # are identical (openmm/app/forcefield.py _matchImproper workaround).
     adj = [[] for _ in range(V)]
     for i, j in bonds:
         adj[int(i)].append(int(j))
         adj[int(j)].append(int(i))
-
-    def priority(idx: int) -> int:
-        t = types[idx]
-        if t in ("O", "O2"):
-            return 0
-        if t.startswith("N"):
-            return 1
-        if t.startswith("H"):
-            return 2
-        return 3
+    elements = [a.element for a in topology.atoms]
 
     for c in range(V):
         if types[c] not in SP2_CENTER_TYPES or len(adj[c]) != 3:
             continue
-        nbrs = sorted(adj[c], key=priority)
-        l = nbrs[0]
-        i, j = nbrs[1], nbrs[2]
-        p = P.improper_param(types[i], types[j], types[c], types[l])
-        if p is None and priority(nbrs[0]) == 3:
+        nbrs = list(adj[c])  # topology bond order, as OpenMM sees it
+        m = P.match_improper(types[c], [types[x] for x in nbrs])
+        if m is None:
             continue
-        if p is None:
-            # Try the hydrogens as out-of-plane atom (amide NH2, ring CH).
-            for alt in (nbrs[1], nbrs[2]):
-                rest = [x for x in nbrs if x != alt]
-                p = P.improper_param(types[rest[0]], types[rest[1]], types[c], types[alt])
-                if p is not None:
-                    i, j, l = rest[0], rest[1], alt
-                    break
-        if p is None:
-            continue
-        kk, per, phase = p
-        t_idx.append((i, j, c, l))
+        perm, (kk, per, phase) = m
+        a1, a2, out = (nbrs[p] for p in perm)
+        # AMBER-ordering workaround: carbon first; same element -> lower
+        # index first; otherwise heavier element first.
+        e1, e2 = elements[a1], elements[a2]
+        if e1 == e2:
+            if a1 > a2:
+                a1, a2 = a2, a1
+        elif e1 != "C" and (e2 == "C" or ELEMENT_MASSES[e1] < ELEMENT_MASSES[e2]):
+            a1, a2 = a2, a1
+        t_idx.append((a1, a2, c, out))
         t_k.append(kk)
         t_n.append(per)
         t_phase.append(phase)

@@ -187,6 +187,17 @@ def gb_energy(system: AmberSystem, coords: jnp.ndarray) -> Dict[str, jnp.ndarray
     # Off-diagonal pairs count once (0.5 * sum over full matrix), the i=j
     # self term is qi^2 / B_i with weight 0.5.
     e_pair = pref * qq / f_gb
+    if system.cutoff is not None:
+        # OpenMM's GBSAOBCForce under CutoffNonPeriodic subtracts
+        # q_i q_j / r_cutoff from every off-diagonal pair within the cutoff
+        # and skips pairs beyond it (self terms are unshifted). For a solute
+        # smaller than the cutoff this is a constant offset, but it is part
+        # of OpenMM's energy convention and the golden data includes it.
+        eye = jnp.eye(V, dtype=bool)
+        within = (r2 < system.cutoff * system.cutoff) & ~eye
+        e_pair = jnp.where(
+            eye, e_pair, jnp.where(within, e_pair - pref * qq / system.cutoff, 0.0)
+        )
     e_gb = 0.5 * e_pair.sum()
 
     # ACE surface-area term (OpenMM GBSAOBCForce's default SA model). The

@@ -124,8 +124,12 @@ def optax_global_norm(tree) -> jnp.ndarray:
 
 
 def make_eval_step(model, loss_fn: Callable, mesh: Optional[Mesh] = None):
-    def step_fn(params, batch: DenseBatch, rng: jax.Array):
-        loss, metrics = loss_fn(model, params, batch, rng)
+    """Jitted eval step. ``step`` is forwarded to the loss so a scheduled
+    convex-combination loss is evaluated with the same annealed weights as
+    the train step (not frozen at step 0)."""
+
+    def step_fn(params, batch: DenseBatch, rng: jax.Array, step=0):
+        loss, metrics = loss_fn(model, params, batch, rng, step=step)
         metrics = dict(metrics)
         metrics["loss"] = loss
         return metrics
