@@ -115,3 +115,34 @@ def test_exploration_runs_and_respects_threshold(rng):
     prev = np.concatenate([np.asarray(energy_fn(coords0))[None], e[:-1]], axis=0)
     jumps = (e - prev)[acc]
     assert np.all(jumps < 1.0 + 1e-5)
+
+
+def test_chirality_centers_reference_semantics():
+    """Center selection matches the reference exactly on real fixtures
+    (reference: utils/chirality.py:14-37): degree exactly 4, centers bonded
+    to >= 2 hydrogens excluded (their mirror is an H permutation), and
+    neighbours in bond-list order. Expectations computed with the reference
+    algorithm on the same topologies."""
+    from timewarp_tpu.data.pdb import parse_pdb
+
+    topo = parse_pdb("/root/reference/testdata/output/2olx-traj-state0.pdb")
+    centers = find_chirality_centers(
+        topo.bonds, topo.num_atoms, atom_types=topo.atom_types
+    )
+    np.testing.assert_array_equal(
+        centers,
+        [[4, 0, 5, 6], [18, 16, 19, 20], [32, 30, 33, 34], [49, 47, 50, 51]],
+    )
+
+    ad = parse_pdb("/root/reference/simulation/testdata/alanine-dipeptide.pdb")
+    centers_ad = find_chirality_centers(ad.bonds, ad.num_atoms, atom_types=ad.atom_types)
+    np.testing.assert_array_equal(centers_ad, [[8, 6, 9, 10]])
+
+    # A true mirror flips every center; H-permutation-only centers (e.g. the
+    # 2olx methyl carbons with 3 hydrogens) are never in the list, so no
+    # spurious penalty can fire on physically irrelevant flips.
+    coords = jnp.asarray(topo.positions)
+    signs = chirality_signs(coords, centers)
+    mirrored = coords * jnp.asarray([-1.0, 1.0, 1.0])
+    assert bool(check_symmetry_change(mirrored, centers, signs))
+    assert not bool(check_symmetry_change(coords, centers, signs))

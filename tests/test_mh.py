@@ -195,3 +195,92 @@ def test_mh_flow_amber_end_to_end():
     # Untrained flow: proposals are garbage, acceptance should be ~0 but the
     # chain must remain at the (finite) initial state.
     assert np.isfinite(float(state.e_pot))
+
+
+def test_rotation_preserves_exactness():
+    """With per-step random rotation (reference:
+    utils/evaluation_utils.py:604-607) the perfect-proposal chain still
+    accepts everything: the harmonic energy is rotation invariant and the
+    acceptance exponent is recomputed from the rotated state."""
+    V = 4
+    energy_fn, propose_fn, reverse_logp_fn, masses = _gaussian_setup(V)
+    coords0 = jnp.zeros((V, 3))
+    state = MHState(coords=coords0, velocs=coords0, e_pot=energy_fn(coords0))
+    cfg = MHConfig(
+        num_proposal_steps=2, random_velocs=True, resample_velocs=True, rotate=True
+    )
+    state, out = mh_segment(
+        None, state, jax.random.PRNGKey(3),
+        propose_fn, reverse_logp_fn, energy_fn, masses, 1.0,
+        num_iters=64, K=2, config=cfg,
+    )
+    assert bool(np.asarray(out.accepted_any).all())
+    # The proposed-from states recorded for chain bookkeeping are rotated
+    # copies, not the raw previous states.
+    assert np.isfinite(np.asarray(out.x_coords)).all()
+
+
+def test_interleaved_md_steps():
+    """Interleaved Langevin steps on current state and proposals
+    (reference: utils/evaluation_utils.py:558-626) run fused in the scan and
+    keep the chain finite on the real AMBER dipeptide."""
+    from timewarp_tpu.data.pdb import parse_pdb
+    from timewarp_tpu.physics.amber.build import build_system
+    from timewarp_tpu.physics.constants import kbT
+    from timewarp_tpu.sampling.mh import make_md_step_fn
+
+    topo = parse_pdb("/root/reference/simulation/testdata/alanine-dipeptide.pdb")
+    system, _ = build_system(topo)
+    V = topo.num_atoms
+    energy_fn = make_amber_energy(system)
+
+    # Identity-ish proposal: jitter around the current state.
+    def propose_fn(params, rng, x_coords, x_velocs, K):
+        kc, kv = jax.random.split(rng)
+        y = x_coords[None] + 1e-3 * jax.random.normal(kc, (K, V, 3))
+        yv = jax.random.normal(kv, (K, V, 3))
+        logp = jnp.zeros((K,))
+        return y, yv, logp
+
+    def reverse_logp_fn(params, y_coords, y_velocs, x_coords, x_velocs):
+        return jnp.zeros((y_coords.shape[0],))
+
+    masses = jnp.asarray(system.masses)
+    coords0 = jnp.asarray(topo.positions)
+    state = MHState(coords=coords0, velocs=jnp.zeros((V, 3)), e_pot=energy_fn(coords0))
+    cfg = MHConfig(
+        num_proposal_steps=2, random_velocs=True, resample_velocs=True,
+        md_steps_current=3, md_steps_proposal=2,
+    )
+    state, out = mh_segment(
+        None, state, jax.random.PRNGKey(4),
+        propose_fn, reverse_logp_fn, energy_fn, masses, float(kbT()),
+        num_iters=8, K=2, config=cfg,
+        md_step_fn=make_md_step_fn(system),
+    )
+    assert np.isfinite(np.asarray(out.coords)).all()
+    assert np.isfinite(np.asarray(out.e_pot_y)).all()
+    # MD on the current state moves it: recorded x differs from the carry-in.
+    assert not np.allclose(np.asarray(out.x_coords[0]), np.asarray(coords0))
+
+
+def test_pipelined_driver_deterministic():
+    """The pipelined segment driver (dispatch-ahead + AOT bucket prewarm)
+    gives identical chains across runs with the same key."""
+    V = 3
+    energy_fn, propose_fn, reverse_logp_fn, masses = _gaussian_setup(V)
+
+    def run():
+        return sample_with_model(
+            None, propose_fn, reverse_logp_fn, energy_fn, masses, 1.0,
+            jnp.zeros((V, 3)), jnp.zeros((V, 3)), jax.random.PRNGKey(7),
+            num_samples=80, config=MHConfig(num_proposal_steps=4),
+            segment_iters=8, adaptive_parallelism=True,
+        )
+
+    c1, v1, a1, s1 = run()
+    c2, v2, a2, s2 = run()
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(v1, v2)
+    assert a1 == a2
+    assert s1.num_proposals == s2.num_proposals > 0

@@ -212,3 +212,62 @@ def test_convex_combination_scheduled_in_train_step(rng):
     # weight of the second loss decays from ~0.98 toward 0.5
     assert w1_first > 0.9
     assert 0.45 < float(metrics["loss_weight_1"]) < 0.62
+
+
+def test_acceptance_loss_mixed_molecule_batch():
+    """Acceptance-loss train step on a batch mixing two DIFFERENT molecules
+    (alanine dipeptide + the 2olx tetrapeptide), the reference's per-protein
+    ``segments`` energy batching (reference: losses.py:58-98) redesigned as
+    one vmap over a stacked padded system -- and exactness of the stacked
+    potential vs per-molecule evaluation."""
+    from timewarp_tpu.data.batch import MolDynDatapoint, collate_dense
+    from timewarp_tpu.data.pdb import parse_pdb
+    from timewarp_tpu.physics.amber.build import build_system
+    from timewarp_tpu.physics.energy import potential_energy
+    from timewarp_tpu.physics.losses import MixedEnergyModel
+    from timewarp_tpu.physics.provider import batched_mixed_potential, stack_systems
+
+    ad = parse_pdb("/root/reference/simulation/testdata/alanine-dipeptide.pdb")
+    olx = parse_pdb("/root/reference/testdata/output/2olx-traj-state0.pdb")
+    sys_ad, _ = build_system(ad)
+    sys_olx, _ = build_system(olx)
+    stacked = stack_systems([sys_ad, sys_olx])
+
+    # Exactness: stacked/padded energies equal the per-molecule energies.
+    coords = jnp.zeros((2, stacked.masses.shape[1], 3))
+    coords = coords.at[0, : ad.num_atoms].set(jnp.asarray(ad.positions))
+    coords = coords.at[1, : olx.num_atoms].set(jnp.asarray(olx.positions))
+    e_mixed = np.asarray(batched_mixed_potential(stacked, coords))
+    e_ad = float(potential_energy(sys_ad, jnp.asarray(ad.positions)))
+    e_olx = float(potential_energy(sys_olx, jnp.asarray(olx.positions)))
+    np.testing.assert_allclose(e_mixed, [e_ad, e_olx], rtol=2e-4)
+
+    def point(topo, name):
+        n = topo.num_atoms
+        z = np.zeros((n, 3), np.float32)
+        return MolDynDatapoint(
+            name=name,
+            atom_types=topo.atom_types,
+            adj_list=topo.bonds.astype(np.int32),
+            atom_coords=topo.positions.astype(np.float32),
+            atom_velocs=z.copy(),
+            atom_forces=z.copy(),
+            atom_coord_targets=topo.positions.astype(np.float32),
+            atom_veloc_targets=z.copy(),
+            atom_force_targets=z.copy(),
+        )
+
+    batch = collate_dense([point(ad, "ad"), point(olx, "2olx")])
+    # Re-stack padded to the bucketed batch width.
+    stacked = stack_systems([sys_ad, sys_olx], v_pad=batch.atom_coords.shape[1])
+    model = tiny_model()
+    optimizer = build_optimizer(OptimizerConfig(learning_rate=1e-4, warmup_steps=1))
+    state = _init_state(model, batch, optimizer)
+    loss_fn = make_loss(
+        LossConfig(name="acceptance", random_velocs=True, clamp=True),
+        energy_model=MixedEnergyModel(),
+    )
+    step = make_train_step(model, loss_fn, optimizer, mesh=None, data_augmentation=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0), stacked)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))

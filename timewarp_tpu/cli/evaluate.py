@@ -27,6 +27,14 @@ def main(argv=None):
     ap.add_argument("--num-samples", type=int, default=10_000)
     ap.add_argument("--num-proposal-steps", type=int, default=16)
     ap.add_argument("--adaptive", action="store_true")
+    # MH feature flags matching the reference chain options
+    # (reference: utils/evaluation_utils.py:558-626, :604-607).
+    ap.add_argument("--rotate", action="store_true",
+                    help="random rotation of the current state each MH step")
+    ap.add_argument("--md-steps-current", type=int, default=0,
+                    help="interleaved Langevin steps on the current state")
+    ap.add_argument("--md-steps-proposal", type=int, default=0,
+                    help="interleaved Langevin steps on each proposal")
     ap.add_argument("--output-dir", default="outputs/evaluation")
     args = ap.parse_args(argv)
 
@@ -72,8 +80,14 @@ def main(argv=None):
     summary = {"num_atoms": V}
 
     if args.mh:
-        centers = find_chirality_centers(topo.bonds, V)
+        import time
+
+        from timewarp_tpu.sampling.mh import make_md_step_fn
+
+        centers = find_chirality_centers(topo.bonds, V, atom_types=topo.atom_types)
         ref_signs = chirality_signs(jnp.asarray(topo.positions), centers)
+        interleave_md = args.md_steps_current > 0 or args.md_steps_proposal > 0
+        t0 = time.perf_counter()
         coords, velocs, accepted, stats = sample_with_model(
             params,
             propose_fn,
@@ -85,11 +99,18 @@ def main(argv=None):
             jnp.zeros((V, 3)),
             jax.random.PRNGKey(0),
             num_samples=args.num_samples,
-            config=MHConfig(num_proposal_steps=args.num_proposal_steps),
+            config=MHConfig(
+                num_proposal_steps=args.num_proposal_steps,
+                rotate=args.rotate,
+                md_steps_current=args.md_steps_current,
+                md_steps_proposal=args.md_steps_proposal,
+            ),
             adaptive_parallelism=args.adaptive,
             chirality_centers=jnp.asarray(centers) if len(centers) else None,
             reference_signs=ref_signs if len(centers) else None,
+            md_step_fn=make_md_step_fn(system) if interleave_md else None,
         )
+        wall = time.perf_counter() - t0
         stats.save(os.path.join(args.output_dir, "chain_stats.pkl"))
         np.savez_compressed(
             os.path.join(args.output_dir, "chain.npz"), coords=coords, velocs=velocs
@@ -97,6 +118,12 @@ def main(argv=None):
         summary["acceptance_rate"] = stats.acceptance_rate
         summary["num_accepted"] = accepted
         summary["chain_length"] = len(coords)
+        summary["mh_wall_s"] = wall
+        summary["proposals_per_s_wall"] = float(stats.num_proposals) / wall
+        print(
+            f"MH: {stats.num_proposals} proposals in {wall:.1f}s "
+            f"-> {stats.num_proposals / wall:,.0f} proposals/s (wall, incl. host)"
+        )
 
         if args.data_npz:
             md = np.load(args.data_npz)

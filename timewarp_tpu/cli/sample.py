@@ -57,7 +57,7 @@ def main(argv=None):
     params = load_params(args.params)
 
     energy_fn = make_amber_energy(system)
-    centers = find_chirality_centers(topo.bonds, V)
+    centers = find_chirality_centers(topo.bonds, V, atom_types=topo.atom_types)
     ref_signs = (
         chirality_signs(jnp.asarray(topo.positions), centers) if len(centers) else None
     )

@@ -105,15 +105,18 @@ def convex_combination(
         "exactly one of weights / pre_softmax_weights must be given"
     )
 
-    def fn(model, params, batch, rng, step=0):
+    def fn(model, params, batch, rng, step=0, energy_system=None):
         if weights is not None:
             w = jnp.asarray(weights, jnp.float32)
         else:
             w = scheduled_weights(pre_softmax_weights, schedule, step)
         keys = jax.random.split(rng, len(loss_fns))
         total, metrics = 0.0, {}
+        # Only forward energy_system when set, so member losses with the
+        # plain (model, params, batch, rng, step) signature keep working.
+        kwargs = {} if energy_system is None else {"energy_system": energy_system}
         for i, (lf, k) in enumerate(zip(loss_fns, keys)):
-            li, mi = lf(model, params, batch, k, step=step)
+            li, mi = lf(model, params, batch, k, step=step, **kwargs)
             total = total + w[i] * li
             metrics.update(mi)
             metrics[f"loss_weight_{i}"] = w[i]
@@ -182,11 +185,11 @@ def make_loss(config: LossConfig, energy_model=None) -> Callable:
     energy model for the batch's molecule is available.
     """
     if config.name == "nll":
-        def fn(model, params, batch, rng, step=0):
+        def fn(model, params, batch, rng, step=0, energy_system=None):
             return nll_loss(model, params, batch, rng, config.random_velocs)
         return fn
     if config.name == "flipped_nll":
-        def fn(model, params, batch, rng, step=0):
+        def fn(model, params, batch, rng, step=0, energy_system=None):
             k1, k2 = jax.random.split(rng)
             l1, m1 = nll_loss(model, params, batch, k1, config.random_velocs)
             l2, m2 = flipped_nll_loss(model, params, batch, k2, config.random_velocs)

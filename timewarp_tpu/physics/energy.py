@@ -60,10 +60,21 @@ def dihedral_angle(p0, p1, p2, p3):
     b2 = p3 - p2
     n1 = jnp.cross(b0, b1)
     n2 = jnp.cross(b1, b2)
-    b1n = b1 / (jnp.linalg.norm(b1, axis=-1, keepdims=True) + 1e-12)
+    # sqrt(x + eps), not linalg.norm + eps: norm's gradient at exactly zero
+    # (coincident atoms -- padding rows, degenerate proposals) is NaN.
+    b1n = b1 / jnp.sqrt((b1 * b1).sum(-1, keepdims=True) + 1e-24)
     m1 = jnp.cross(n1, b1n)
     x = (n1 * n2).sum(-1)
     y = (m1 * n2).sum(-1)
+    # arctan2's gradient at (0, 0) is NaN. Degenerate quadruples (coincident/
+    # collinear atoms -- always the case for zero-k padding terms that index
+    # atom 0 four times, and possible for garbage flow proposals) would
+    # poison the whole gradient even when multiplied by k=0. Substitute the
+    # well-conditioned point (1, 0) there; the where() routes a zero
+    # cotangent to the degenerate branch, keeping everything finite.
+    degenerate = (x * x + y * y) < 1e-18
+    x = jnp.where(degenerate, 1.0, x)
+    y = jnp.where(degenerate, 0.0, y)
     return jnp.arctan2(y, x)
 
 
@@ -75,12 +86,21 @@ def torsion_energy(system: AmberSystem, coords: jnp.ndarray) -> jnp.ndarray:
     ).sum()
 
 
+# Distance floor (nm). Physical conformations never get below ~0.09 nm
+# (an H-X bond), but garbage inputs -- untrained-flow proposals, padded
+# dummy rows -- can collide atoms, overflowing r^-12 to inf and poisoning
+# gradients through jnp.where (NaN even on masked branches). Clamping far
+# below the physical regime leaves real energies bit-identical while keeping
+# the loss and its gradient finite everywhere.
+R_MIN = 0.01
+
+
 def _pairwise_r(coords: jnp.ndarray, eps: float = 1e-12):
     diff = coords[:, None, :] - coords[None, :, :]
     r2 = (diff * diff).sum(-1)
     # Guard the diagonal (scale matrices zero it out of the energy).
     r2 = r2 + jnp.eye(coords.shape[0], dtype=coords.dtype)
-    return jnp.sqrt(r2 + eps), r2
+    return jnp.sqrt(jnp.maximum(r2, R_MIN * R_MIN) + eps), r2
 
 
 def nonbonded_energy(system: AmberSystem, coords: jnp.ndarray) -> Dict[str, jnp.ndarray]:

@@ -6,10 +6,14 @@ host round-trip and custom autograd bridge (utils/openmm/openmm_bridge.py).
 Here the AMBER potential is JAX, so d(loss)/d(params) flows through the
 energy function analytically -- the whole objective is one XLA program.
 
-The reference evaluates energies per-molecule via batch ``segments``; this
-port currently supports single-system batches (every element the same
-molecule, the dominant AD/2AA training mode) with an ``EnergySystems``
-registry hook for the multi-molecule case.
+The reference evaluates energies per-molecule via batch ``segments``
+(reference: losses.py:58-98, dataloader.py:194-196 -- a host loop over
+contiguous same-protein runs). The TPU-native equivalent is shape-static:
+mixed-molecule batches carry a *stacked padded* AmberSystem (one set of
+parameters per batch row, physics/provider.py) threaded through the train
+step as a regular traced input, and one ``vmap`` evaluates every row's
+energy under its own parameters -- no segment loop, no per-protein
+recompilation.
 """
 import dataclasses
 from typing import Callable, Dict, Optional, Tuple
@@ -44,10 +48,34 @@ class EnergyModel:
         return kbT(self.temperature)
 
 
-def _sample_and_energies(model, params, batch, rng, energy_model, random_velocs):
-    from timewarp_tpu.sampling.mh import kinetic_energy
+@dataclasses.dataclass
+class MixedEnergyModel:
+    """Marker/config for mixed-molecule batches: the per-row parameters
+    arrive as a stacked padded AmberSystem via the loss's ``energy_system``
+    argument (built by physics/provider.EnergyProvider.stacked_for and fed
+    through the train step alongside the batch)."""
 
-    V_sys = energy_model.system.num_atoms
+    temperature: float = 310.0
+
+    @property
+    def kT(self) -> float:
+        return kbT(self.temperature)
+
+
+def _masked_kinetic(velocs, masses, kT, random_velocs):
+    """[B, V, 3] -> [B] with zero-mass (dummy/padded) atoms excluded; masses
+    may be [V] (shared system) or [B, V] (stacked)."""
+    if random_velocs:
+        real = (masses > 0.0).astype(velocs.dtype)
+        if masses.ndim == 1:
+            real = real[None]
+        return 0.5 * (real[..., None] * velocs**2).sum((-1, -2))
+    return 0.5 * (masses * (velocs**2).sum(-1)).sum(-1) / kT
+
+
+def _sample_and_energies(
+    model, params, batch, rng, energy_model, random_velocs, e_pot_fn, masses
+):
     if random_velocs:
         k_v, rng = jax.random.split(rng)
         x_velocs = jax.random.normal(k_v, batch.atom_velocs.shape)
@@ -60,32 +88,53 @@ def _sample_and_energies(model, params, batch, rng, energy_model, random_velocs)
     )
     yc, yv, logp_xy = yc[0], yv[0], logp_xy[0]
 
-    kT = energy_model.kT
-    masses = energy_model.masses
-    e_pot_y = energy_model.potential(yc[:, :V_sys])
-    e_kin_y = kinetic_energy(yv[:, :V_sys], masses, kT, random_velocs)
+    e_pot_y = e_pot_fn(yc)
+    e_kin_y = _masked_kinetic(yv, masses, energy_model.kT, random_velocs)
     return x_velocs, yc, yv, logp_xy, e_pot_y, e_kin_y
 
 
-def make_energy_loss(config, energy_model: Optional[EnergyModel]) -> Callable:
-    """Build acceptance/energy losses. config: losses.LossConfig."""
+def make_energy_loss(config, energy_model) -> Callable:
+    """Build acceptance/energy losses. config: losses.LossConfig.
+
+    ``energy_model`` is an EnergyModel (single shared system; the
+    ``energy_system`` loss argument stays None) or a MixedEnergyModel
+    (per-row stacked system passed as ``energy_system``)."""
     assert energy_model is not None, "energy losses need an EnergyModel"
     name = config.name
     random_velocs = config.random_velocs
-    V_sys = energy_model.system.num_atoms
+    mixed = isinstance(energy_model, MixedEnergyModel)
 
-    def acceptance_loss(model, params, batch, rng, step=0) -> Tuple[jnp.ndarray, Dict]:
+    def _binding(batch, energy_system):
+        """(e_pot_fn [B,V,3]->[B] in kT, masses) for this batch."""
+        if mixed:
+            assert energy_system is not None, (
+                "MixedEnergyModel losses need the stacked energy_system"
+            )
+            from timewarp_tpu.physics.provider import batched_mixed_potential
+
+            def e_pot(c):
+                return batched_mixed_potential(energy_system, c) / energy_model.kT
+
+            return e_pot, energy_system.masses
+        V_sys = energy_model.system.num_atoms
+
+        def e_pot(c):
+            return energy_model.potential(c[:, :V_sys])
+
+        return e_pot, energy_model.masses
+
+    def acceptance_loss(
+        model, params, batch, rng, step=0, energy_system=None
+    ) -> Tuple[jnp.ndarray, Dict]:
         """-log MH acceptance (optionally clamped) + beta * conditional
         entropy bonus (reference: losses.py:359-556)."""
-        from timewarp_tpu.sampling.mh import kinetic_energy
-
+        e_pot_fn, masses = _binding(batch, energy_system)
         x_velocs, yc, yv, logp_xy, e_pot_y, e_kin_y = _sample_and_energies(
-            model, params, batch, rng, energy_model, random_velocs
+            model, params, batch, rng, energy_model, random_velocs, e_pot_fn, masses
         )
         kT = energy_model.kT
-        masses = energy_model.masses
-        e_pot_x = energy_model.potential(batch.atom_coords[:, :V_sys])
-        e_kin_x = kinetic_energy(x_velocs[:, :V_sys], masses, kT, random_velocs)
+        e_pot_x = e_pot_fn(batch.atom_coords)
+        e_kin_x = _masked_kinetic(x_velocs, masses, kT, random_velocs)
 
         flip = 1.0 if random_velocs else -1.0
         logp_yx = model.apply(
@@ -120,10 +169,11 @@ def make_energy_loss(config, energy_model: Optional[EnergyModel]) -> Callable:
         }
         return loss, metrics
 
-    def energy_loss(model, params, batch, rng, step=0):
+    def energy_loss(model, params, batch, rng, step=0, energy_system=None):
         """E[U(y)] + logp_xy on model samples (reference: losses.py:559-664)."""
+        e_pot_fn, masses = _binding(batch, energy_system)
         _, yc, yv, logp_xy, e_pot_y, e_kin_y = _sample_and_energies(
-            model, params, batch, rng, energy_model, random_velocs
+            model, params, batch, rng, energy_model, random_velocs, e_pot_fn, masses
         )
         energy = e_pot_y + e_kin_y
         num_atoms = (~batch.masked_elements).sum(axis=1)
@@ -147,7 +197,7 @@ def make_energy_loss(config, energy_model: Optional[EnergyModel]) -> Callable:
 
     other = acceptance_loss if name == "nll_acceptance" else energy_loss
 
-    def nll_fn(model, params, batch, rng, step=0):
+    def nll_fn(model, params, batch, rng, step=0, energy_system=None):
         return nll_loss(model, params, batch, rng, random_velocs)
 
     if config.pre_softmax_weights is not None:

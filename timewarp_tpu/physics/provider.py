@@ -83,9 +83,13 @@ def pad_system(system: AmberSystem, v_max: int, max_terms: Optional[dict] = None
     )
 
 
-def stack_systems(systems: Sequence[AmberSystem]) -> AmberSystem:
-    """Stack same-shape systems leaf-wise -> batched system for vmap."""
-    v_max = max(s.num_atoms for s in systems)
+def stack_systems(
+    systems: Sequence[AmberSystem], v_pad: Optional[int] = None
+) -> AmberSystem:
+    """Stack same-shape systems leaf-wise -> batched system for vmap.
+    ``v_pad`` forces the padded atom count (e.g. to match a bucketed
+    DenseBatch width)."""
+    v_max = max(max(s.num_atoms for s in systems), v_pad or 0)
     max_terms = {
         "bonds": max(s.bond_idx.shape[0] for s in systems),
         "angles": max(s.angle_idx.shape[0] for s in systems),

@@ -24,6 +24,10 @@ class ChainStats:
     energies_kin: np.ndarray  # [N]
     energies_pot_delta: np.ndarray  # [N]
     energies_kin_delta: np.ndarray  # [N]
+    # Total proposals EVALUATED on device (segments x iters x K) -- the
+    # throughput denominator. The flattened arrays above only keep proposals
+    # up to each iteration's first acceptance, like the reference.
+    num_proposals: int = 0
 
     def __len__(self):
         return len(self.acceptance)
@@ -33,7 +37,9 @@ class ChainStats:
             **{
                 f.name: getattr(self, f.name)[key]
                 for f in dataclasses.fields(self)
-            }
+                if f.name != "num_proposals"
+            },
+            num_proposals=self.num_proposals,
         )
 
     def thin(self, step: int) -> "ChainStats":
@@ -78,6 +84,7 @@ def flatten_segment(outputs, max_states: Optional[int] = None):
         energies_kin=flat(outputs.e_kin_y),
         energies_pot_delta=flat(outputs.e_pot_delta),
         energies_kin_delta=flat(outputs.e_kin_delta),
+        num_proposals=int(prefix.shape[0]) * int(K),
     )
     if max_states is not None:
         stats = stats[:max_states]
@@ -89,5 +96,7 @@ def concat_stats(parts):
         **{
             f.name: np.concatenate([getattr(p, f.name) for p in parts], axis=0)
             for f in dataclasses.fields(ChainStats)
-        }
+            if f.name != "num_proposals"
+        },
+        num_proposals=sum(p.num_proposals for p in parts),
     )

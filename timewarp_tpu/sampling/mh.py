@@ -44,6 +44,14 @@ class MHConfig:
     target_acceptance_per_step: float = 0.9
     acceptance_rate_smoothing: float = 0.01
     max_num_proposal_steps: int = 128
+    # Feature parity with the reference chain (utils/evaluation_utils.py):
+    # random rotation of the current state each iteration (:604-607) and
+    # interleaved Langevin MD steps on the current state / on proposals
+    # (:558-626; the reference calls OpenMM, here it is the on-device
+    # integrator fused into the same scan).
+    rotate: bool = False
+    md_steps_current: int = 0
+    md_steps_proposal: int = 0
 
 
 @struct.dataclass
@@ -71,6 +79,12 @@ class SegmentOutputs:
     accepted_any: jnp.ndarray  # [T] bool
     coords: jnp.ndarray  # [T, V, 3] chain state AFTER the iteration
     velocs: jnp.ndarray  # [T, V, 3]
+    # The (possibly resampled/MD-stepped/rotated) current state the iteration
+    # proposed FROM -- the reference appends first_idx copies of this to the
+    # chain (utils/evaluation_utils.py:709-713), which differs from the
+    # previous post-iteration state when rotate/interleaved-MD are on.
+    x_coords: jnp.ndarray  # [T, V, 3]
+    x_velocs: jnp.ndarray  # [T, V, 3]
 
 
 def compute_num_proposal_steps(
@@ -136,6 +150,22 @@ def make_amber_energy(system, temperature: float = 310.0):
     return e_pot
 
 
+def make_md_step_fn(system, temperature: float = 310.0):
+    """Adapter for the interleaved-MD options: the on-device BAOAB Langevin
+    integrator as ``(coords, velocs, key, num_steps) -> (coords, velocs)``
+    (the reference interleaves OpenMM steps on the host,
+    utils/evaluation_utils.py:558-626; here the integrator fuses into the
+    MH scan)."""
+    from timewarp_tpu.physics.integrator import LangevinConfig, run_segment
+
+    config = LangevinConfig(temperature=temperature)
+
+    def md_step(coords, velocs, key, num_steps):
+        return run_segment(system, coords, velocs, key, num_steps, config)
+
+    return md_step
+
+
 def kinetic_energy(velocs, masses, kT, random_velocs: bool):
     """[..., V, 3] -> [...] (reference: losses.py:23-44)."""
     if random_velocs:
@@ -152,6 +182,7 @@ def kinetic_energy(velocs, masses, kT, random_velocs: bool):
         "num_iters",
         "K",
         "config",
+        "md_step_fn",
     ),
 )
 def mh_segment(
@@ -168,19 +199,58 @@ def mh_segment(
     config: MHConfig,
     chirality_centers: Optional[jnp.ndarray] = None,
     reference_signs: Optional[jnp.ndarray] = None,
+    md_step_fn: Optional[Callable] = None,
 ) -> Tuple[MHState, SegmentOutputs]:
-    """Run ``num_iters`` MH iterations with K proposals each as one scan."""
+    """Run ``num_iters`` MH iterations with K proposals each as one scan.
+
+    ``md_step_fn(coords, velocs, key, num_steps) -> (coords, velocs)`` is the
+    on-device Langevin integrator used for the interleaved-MD options; it is
+    required when config.md_steps_current/proposal > 0.
+    """
+    velocs_std = jnp.sqrt(kT / masses)[:, None]  # unit-variance -> physical
+
+    def run_md(coords, velocs, key, n):
+        """MD under random_velocs semantics: velocities enter in physical
+        units and only coordinates are kept (reference:
+        utils/evaluation_utils.py:594-601)."""
+        if config.random_velocs:
+            new_c, _ = md_step_fn(coords, velocs * velocs_std, key, n)
+            return new_c, velocs
+        return md_step_fn(coords, velocs, key, n)
 
     def body(state: MHState, key):
-        k_vel, k_prop, k_acc = jax.random.split(key, 3)
+        k_vel, k_md, k_rot, k_mdp, k_prop, k_acc = jax.random.split(key, 6)
         x_coords, x_velocs = state.coords, state.velocs
+        e_pot_x = state.e_pot
 
         if config.random_velocs and config.resample_velocs:
             x_velocs = jax.random.normal(k_vel, x_velocs.shape, x_velocs.dtype)
 
+        if config.md_steps_current > 0:
+            x_coords, x_velocs = run_md(
+                x_coords, x_velocs, k_md, config.md_steps_current
+            )
+            e_pot_x = energy_fn(x_coords)
+
+        if config.rotate:
+            from timewarp_tpu.utils.geometry import random_rotation_matrix
+
+            Q = random_rotation_matrix(k_rot, dtype=x_coords.dtype)
+            hi = jax.lax.Precision.HIGHEST
+            x_coords = jnp.einsum("ij,vj->vi", Q, x_coords, precision=hi)
+            x_velocs = jnp.einsum("ij,vj->vi", Q, x_velocs, precision=hi)
+            # Rotation leaves the potential invariant only up to numerics;
+            # recompute so the acceptance exponent stays exact.
+            e_pot_x = energy_fn(x_coords)
+
         y_coords, y_velocs, p_xy = propose_fn(params, k_prop, x_coords, x_velocs, K)
 
-        e_pot_x = state.e_pot
+        if config.md_steps_proposal > 0:
+            keys_p = jax.random.split(k_mdp, K)
+            y_coords = jax.vmap(
+                lambda c, v, k: run_md(c, v, k, config.md_steps_proposal)[0]
+            )(y_coords, y_velocs, keys_p)
+
         e_kin_x = kinetic_energy(x_velocs, masses, kT, config.random_velocs)
         e_pot_y = energy_fn(y_coords)  # [K]
         e_kin_y = kinetic_energy(y_velocs, masses, kT, config.random_velocs)  # [K]
@@ -225,6 +295,8 @@ def mh_segment(
             accepted_any=accepted_any,
             coords=new_coords,
             velocs=new_velocs,
+            x_coords=x_coords,
+            x_velocs=x_velocs,
         )
         return new_state, out
 
@@ -240,6 +312,78 @@ def _bucket(k: int, max_k: int) -> int:
         if b >= k:
             return min(b, max_k)
     return min(K_BUCKETS[-1], max_k)
+
+
+class _SegmentRunner:
+    """Compiles and launches fixed-K MH segments.
+
+    AOT-compiles each K bucket once (jit.lower().compile()) -- background
+    threads pre-warm the buckets an adaptive chain is likely to visit, so a
+    mid-chain K change never stalls on a fresh multi-second XLA compile
+    (this was the dominant cost of the product loop vs the bare segment
+    rate)."""
+
+    def __init__(
+        self,
+        propose_fn,
+        reverse_logp_fn,
+        energy_fn,
+        config: MHConfig,
+        segment_iters: int,
+        md_step_fn=None,
+    ):
+        self.statics = dict(
+            propose_fn=propose_fn,
+            reverse_logp_fn=reverse_logp_fn,
+            energy_fn=energy_fn,
+            num_iters=segment_iters,
+            config=config,
+            md_step_fn=md_step_fn,
+        )
+        self._compiled = {}
+        self._locks = {}
+        import threading
+
+        self._threading = threading
+        self._master_lock = threading.Lock()
+
+    @staticmethod
+    def _kwargs(params, state, rng, masses, kT, centers, signs):
+        return dict(
+            params=params,
+            state=state,
+            rng=rng,
+            masses=masses,
+            kT=kT,
+            chirality_centers=centers,
+            reference_signs=signs,
+        )
+
+    def _compile(self, K, example_args):
+        with self._master_lock:
+            lock = self._locks.setdefault(K, self._threading.Lock())
+        with lock:
+            if K not in self._compiled:
+                lowered = mh_segment.lower(
+                    K=K, **self._kwargs(*example_args), **self.statics
+                )
+                self._compiled[K] = lowered.compile()
+        return self._compiled[K]
+
+    def prewarm(self, buckets, example_args):
+        """Compile the given K buckets concurrently in daemon threads."""
+        for K in buckets:
+            t = self._threading.Thread(
+                target=self._compile, args=(K, example_args), daemon=True
+            )
+            t.start()
+
+    def run(self, K, params, state, rng, masses, kT, centers, signs):
+        args = (params, state, rng, masses, kT, centers, signs)
+        fn = self._compiled.get(K) or self._compile(K, args)
+        # AOT-compiled executables accept the same kwargs structure used at
+        # lowering time (statics are baked in).
+        return fn(**self._kwargs(*args))
 
 
 def sample_with_model(
@@ -258,14 +402,23 @@ def sample_with_model(
     segment_iters: int = 64,
     chirality_centers=None,
     reference_signs=None,
+    md_step_fn=None,
 ):
     """Host driver: run jitted fixed-K MH segments until the chain holds
     ``num_samples`` states; rebucket K between segments when adaptive.
+
+    Pipelined: segment n+1 is dispatched (JAX async) BEFORE segment n's
+    outputs are pulled to host, so flattening/stats overlap device compute.
+    Adaptive K therefore acts with a one-segment lag -- the smoothing factor
+    (0.01, reference: utils/evaluation_utils.py:684-697) moves far slower
+    than a segment, so the lag is immaterial.
 
     Returns (sampled_coords [N, V, 3], sampled_velocs, num_accepted, ChainStats).
     """
     from timewarp_tpu.sampling.chain_stats import concat_stats, flatten_segment
 
+    masses = jnp.asarray(masses)
+    kT = jnp.asarray(kT, jnp.float32)
     state = MHState(
         coords=jnp.asarray(initial_coords),
         velocs=jnp.asarray(initial_velocs),
@@ -284,65 +437,86 @@ def sample_with_model(
         else config.num_proposal_steps
     )
 
+    runner = _SegmentRunner(
+        propose_fn, reverse_logp_fn, energy_fn, config, segment_iters, md_step_fn
+    )
+    if adaptive_parallelism:
+        buckets = [
+            b for b in K_BUCKETS if b <= config.max_num_proposal_steps and b != K
+        ]
+        rng, warm_rng = jax.random.split(rng)
+        runner.prewarm(
+            buckets,
+            (params, state, warm_rng, masses, kT, chirality_centers, reference_signs),
+        )
+
+    def update_acc_prob(acc_prob, accepted_any, first_idx):
+        s = config.acceptance_rate_smoothing
+        for t in range(len(accepted_any)):
+            acc_prob = (
+                s * float(accepted_any[t])
+                + (1 - s) ** int(first_idx[t]) * acc_prob
+            )
+        return acc_prob
+
+    def next_bucket(acc_prob):
+        return _bucket(
+            compute_num_proposal_steps(
+                acc_prob,
+                config.target_acceptance_per_step,
+                config.max_num_proposal_steps,
+            ),
+            config.max_num_proposal_steps,
+        )
+
     all_stats = []
     coords_parts = [np.asarray(state.coords)[None]]
     velocs_parts = [np.asarray(state.velocs)[None]]
     total_states = 1
     accepted_total = 0
-    seg = 0
+    T = segment_iters
+
+    def process(outputs):
+        nonlocal total_states, accepted_total, acc_prob
+        stats, _ = flatten_segment(outputs)
+        all_stats.append(stats)
+        first_idx = np.asarray(outputs.first_idx)
+        accepted_any = np.asarray(outputs.accepted_any)
+        accepted_total += int(accepted_any.sum())
+        # Chain states per iteration: first_idx copies of the iteration's
+        # (resampled/stepped/rotated) current state, then the new state
+        # (reference bookkeeping: utils/evaluation_utils.py:709-713).
+        xc, xv = np.asarray(outputs.x_coords), np.asarray(outputs.x_velocs)
+        sc, sv = np.asarray(outputs.coords), np.asarray(outputs.velocs)
+        reps = np.stack([first_idx, np.ones(T, np.int64)], -1).reshape(-1)
+        vals_c = np.stack([xc, sc], 1).reshape(2 * T, *xc.shape[1:])
+        vals_v = np.stack([xv, sv], 1).reshape(2 * T, *xv.shape[1:])
+        coords_parts.append(np.repeat(vals_c, reps, axis=0))
+        velocs_parts.append(np.repeat(vals_v, reps, axis=0))
+        total_states += int(reps.sum())
+        if adaptive_parallelism:
+            acc_prob = update_acc_prob(acc_prob, accepted_any, first_idx)
+
+    inflight = None  # (outputs,) pending host processing
     while total_states < num_samples + 1:
         rng, seg_rng = jax.random.split(rng)
-        state, outputs = mh_segment(
-            params,
-            state,
-            seg_rng,
-            propose_fn,
-            reverse_logp_fn,
-            energy_fn,
-            masses,
-            kT,
-            segment_iters,
-            K,
-            config,
-            chirality_centers,
-            reference_signs,
+        state, outputs = runner.run(
+            K, params, state, seg_rng, masses, kT, chirality_centers, reference_signs
         )
-        stats, take = flatten_segment(outputs)
-        all_stats.append(stats)
-        accepted_total += int(np.asarray(outputs.accepted_any).sum())
-
-        # Chain states: for each iteration, first_idx copies of the previous
-        # state then the new state (matching the reference's bookkeeping,
-        # utils/evaluation_utils.py:709-713). Vectorized: repeat indices into
-        # the [1+T] array of states (index 0 = state before the segment).
-        coords_np = np.asarray(outputs.coords)
-        velocs_np = np.asarray(outputs.velocs)
-        first_idx = np.asarray(outputs.first_idx)
-        T = segment_iters
-        vals = np.stack([np.arange(T), np.arange(T) + 1], axis=-1).reshape(-1)
-        reps = np.stack([first_idx, np.ones(T, np.int64)], axis=-1).reshape(-1)
-        state_indices = np.repeat(vals, reps)
-        prev = coords_parts[-1][-1]
-        prev_v = velocs_parts[-1][-1]
-        coords_parts.append(np.concatenate([prev[None], coords_np])[state_indices])
-        velocs_parts.append(np.concatenate([prev_v[None], velocs_np])[state_indices])
-        total_states += int(reps.sum())
-
-        # Adaptive K (host-side; shapes change between segments).
-        if adaptive_parallelism:
-            s = config.acceptance_rate_smoothing
-            acc_any = np.asarray(outputs.accepted_any).astype(np.float64)
-            for t in range(T):
-                acc_prob = s * acc_any[t] + (1 - s) ** int(first_idx[t]) * acc_prob
-            K = _bucket(
-                compute_num_proposal_steps(
-                    acc_prob,
-                    config.target_acceptance_per_step,
-                    config.max_num_proposal_steps,
-                ),
-                config.max_num_proposal_steps,
-            )
-        seg += 1
+        if inflight is not None:
+            process(inflight)  # overlaps with the segment just dispatched
+            if adaptive_parallelism:
+                K = next_bucket(acc_prob)
+        inflight = outputs
+        # Rough progress estimate without forcing a sync on the inflight
+        # segment: assume it contributes at least T states.
+        if total_states + T >= num_samples + 1:
+            process(inflight)
+            inflight = None
+            if adaptive_parallelism:
+                K = next_bucket(acc_prob)
+    if inflight is not None:
+        process(inflight)
 
     coords = np.concatenate(coords_parts, axis=0)[: num_samples + 1]
     velocs = np.concatenate(velocs_parts, axis=0)[: num_samples + 1]

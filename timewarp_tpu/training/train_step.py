@@ -81,13 +81,19 @@ def make_train_step(
 ):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
 
-    def step_fn(state: TrainState, batch: DenseBatch, rng: jax.Array):
+    def step_fn(
+        state: TrainState, batch: DenseBatch, rng: jax.Array, energy_system=None
+    ):
         k_aug, k_loss = jax.random.split(jax.random.fold_in(rng, state.step))
         if data_augmentation:
             batch = transform_batch(k_aug, batch)
 
+        # Only forward energy_system when present so plain loss callables
+        # with the (model, params, batch, rng, step) signature keep working.
+        kwargs = {} if energy_system is None else {"energy_system": energy_system}
+
         def compute(params):
-            return loss_fn(model, params, batch, k_loss, step=state.step)
+            return loss_fn(model, params, batch, k_loss, step=state.step, **kwargs)
 
         (loss, metrics), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
@@ -103,17 +109,25 @@ def make_train_step(
 
     cache = {}  # jitted fn resolved lazily from the first state's structure
 
-    def jitted(state, batch, rng):
-        if "fn" not in cache:
+    def jitted(state, batch, rng, energy_system=None):
+        key = "fn" if energy_system is None else "fn_es"
+        if key not in cache:
             state_shardings = train_state_shardings(state, mesh, zero1=zero1)
             bs = jax.tree.map(lambda _: batch_sharding(mesh), batch)
-            cache["fn"] = jax.jit(
+            in_sh = [state_shardings, bs, replicated_sharding(mesh)]
+            if energy_system is not None:
+                # Stacked per-row system parameters shard with the batch.
+                in_sh.append(jax.tree.map(lambda _: batch_sharding(mesh), energy_system))
+            cache[key] = jax.jit(
                 step_fn,
-                in_shardings=(state_shardings, bs, replicated_sharding(mesh)),
+                in_shardings=tuple(in_sh),
                 out_shardings=(state_shardings, None),
                 donate_argnums=(0,) if donate else (),
             )
-        return cache["fn"](state, batch, rng)
+        args = (state, batch, rng) if energy_system is None else (
+            state, batch, rng, energy_system
+        )
+        return cache[key](*args)
 
     return jitted
 
@@ -128,8 +142,9 @@ def make_eval_step(model, loss_fn: Callable, mesh: Optional[Mesh] = None):
     convex-combination loss is evaluated with the same annealed weights as
     the train step (not frozen at step 0)."""
 
-    def step_fn(params, batch: DenseBatch, rng: jax.Array, step=0):
-        loss, metrics = loss_fn(model, params, batch, rng, step=step)
+    def step_fn(params, batch: DenseBatch, rng: jax.Array, step=0, energy_system=None):
+        kwargs = {} if energy_system is None else {"energy_system": energy_system}
+        loss, metrics = loss_fn(model, params, batch, rng, step=step, **kwargs)
         metrics = dict(metrics)
         metrics["loss"] = loss
         return metrics
