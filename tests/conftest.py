@@ -22,6 +22,29 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Files whose tests dominate suite wall time (jit-heavy model-zoo sweeps,
+# multi-device training, golden-file physics). Everything else is the
+# `-m fast` iteration lane (<2 min).
+SLOW_FILES = {
+    "test_model_zoo.py",
+    "test_training.py",
+    "test_training_loop.py",
+    "test_provider.py",
+    "test_physics.py",
+    "test_evaluation.py",
+    "test_mh.py",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
+
+
 REFERENCE_TESTDATA = "/root/reference/testdata"
 REFERENCE_SIM_TESTDATA = "/root/reference/simulation/testdata"
 

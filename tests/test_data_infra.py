@@ -186,3 +186,21 @@ def test_prefetch_loader(rng):
 
     with pytest.raises(RuntimeError):
         list(PrefetchLoader(bad_factory, place_fn=lambda x: x))
+
+
+def test_iterable_dataset_rank_sharding(raw):
+    """Multi-host input pipeline: rank shards are disjoint by molecule and
+    jointly cover every datapoint (reference sampler semantics:
+    datasets/pdb_sampler.py:126)."""
+    total = sum(t.num_pairs for t in raw.make_iterator())
+    all_names = []
+    all_points = 0
+    for rank in range(2):
+        ds = TrajectoryIterableDataset(
+            raw, shuffle=True, seed=3, num_replicas=2, rank=rank
+        )
+        pts = list(ds)
+        all_points += len(pts)
+        all_names.append({p.name for p in pts})
+    assert all_points == total
+    assert not (all_names[0] & all_names[1])

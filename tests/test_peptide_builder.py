@@ -63,3 +63,27 @@ def test_random_sequence_distribution():
 def test_nterm_proline_rejected(templates):
     with pytest.raises(ValueError):
         build_peptide("PG", templates)
+
+
+def test_all_twenty_amino_acids_available(templates):
+    """The reference generates all 20 AAs via tleap (reference:
+    simulation/create_random_peptides.py); the template harvest must too."""
+    from timewarp_tpu.data.peptide_builder import AA_CODES
+
+    assert set(templates) >= set(AA_CODES.values())
+
+
+def test_cys_his_met_parameterize_and_minimize(templates):
+    """The residues supplied by the AF fixtures (CYS/HIS/MET) build,
+    parameterize (HID tautomer dispatch), and minimize to finite energy."""
+    topo = build_peptide("CHMA", templates)
+    system, report = build_system(topo)
+    assert abs(report.total_charge) < 1e-6
+    assert not report.missing_dihedrals
+    coords = jnp.asarray(topo.positions)
+    x, e = jax.jit(lambda c: minimize(system, c, num_steps=800))(coords)
+    assert np.isfinite(float(e))
+    lengths = np.linalg.norm(
+        np.asarray(x)[topo.bonds[:, 0]] - np.asarray(x)[topo.bonds[:, 1]], axis=-1
+    )
+    np.testing.assert_array_less(lengths, 2 * np.asarray(system.bond_r0))

@@ -120,18 +120,24 @@ def main(argv=None):
         summary["chain_length"] = len(coords)
         summary["mh_wall_s"] = wall
         summary["proposals_per_s_wall"] = float(stats.num_proposals) / wall
+        summary["proposals_per_s_steady"] = stats.steady_proposals_per_s
         print(
             f"MH: {stats.num_proposals} proposals in {wall:.1f}s "
-            f"-> {stats.num_proposals / wall:,.0f} proposals/s (wall, incl. host)"
+            f"-> {stats.num_proposals / wall:,.0f} proposals/s (wall, incl. host "
+            f"and one-time compile), {stats.steady_proposals_per_s:,.0f}/s steady-state"
         )
 
         if args.data_npz:
             md = np.load(args.data_npz)
-            phi_md, psi_md = ramachandran(jnp.asarray(md["positions"]), topo)
+            # Accept both the simulate-CLI reporter schema (positions/
+            # velocities) and the walker-trajectory schema (coords/velocs).
+            md_pos = md["positions" if "positions" in md else "coords"].reshape(-1, V, 3)
+            phi_md, psi_md = ramachandran(jnp.asarray(md_pos), topo)
             phi_mh, psi_mh = ramachandran(jnp.asarray(coords), topo)
             summary["ramachandran_kl"] = ramachandran_kl(phi_md, psi_md, phi_mh, psi_mh)
+            md_vel = md["velocities"] if "velocities" in md else md["velocs"]
             summary["kinetic_ks_md"] = kinetic_energy_ks(
-                md["velocities"], np.asarray(system.masses), float(kbT())
+                md_vel.reshape(-1, V, 3), np.asarray(system.masses), float(kbT())
             )
 
     with open(os.path.join(args.output_dir, "summary.json"), "w") as f:

@@ -49,8 +49,24 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     config = load_config(args.config, args.overrides)
+
+    # Multi-host SPMD: one process per host, all chips in one global mesh
+    # (TPU-native replacement for deepspeed.init_distributed(), reference:
+    # train_deepspeed.py:68-120). Coordinator/process env comes from the TPU
+    # runtime; on a single host this is a no-op flag.
+    if config.distributed:
+        jax.distributed.initialize()
+
     if config.randomise_seed:
         config.seed = int(np.random.default_rng().integers(0, 2**31))
+        if config.distributed and jax.process_count() > 1:
+            # Leader decides, everyone follows (reference:
+            # utilities/deepspeed_utils.py:75-101 broadcast_from_leader).
+            from jax.experimental import multihost_utils
+
+            config.seed = int(
+                multihost_utils.broadcast_one_to_all(np.int32(config.seed))
+            )
 
     run_name = f"{config.run_prefix}{config.model_config.model_type}_{config.dataset}"
     out_dir = os.path.join(config.output_folder, run_name)
@@ -61,8 +77,11 @@ def main(argv=None):
     raw = get_raw_dataset(
         config.dataset, data_dir=config.data_dir, step_width=config.step_width
     )
-    train_ds = TrajectoryIterableDataset(raw, shuffle=True, seed=config.seed)
-    valid_ds = TrajectoryIterableDataset(raw, shuffle=False, seed=config.seed)
+    # Per-host molecule shard (strided by protein, reference:
+    # datasets/pdb_sampler.py:126); single-process runs see everything.
+    shard = dict(num_replicas=jax.process_count(), rank=jax.process_index())
+    train_ds = TrajectoryIterableDataset(raw, shuffle=True, seed=config.seed, **shard)
+    valid_ds = TrajectoryIterableDataset(raw, shuffle=False, seed=config.seed, **shard)
 
     # Model/optimizer.
     model = build_model(config.model_config)

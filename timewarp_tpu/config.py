@@ -49,6 +49,9 @@ class TrainingConfig:
     clip_grad_norm: Optional[float] = None
     seed: int = 0
     randomise_seed: bool = False
+    # Multi-host SPMD: call jax.distributed.initialize() at startup and
+    # shard the input pipeline by jax.process_index()/process_count().
+    distributed: bool = False
     data_dir: Optional[str] = None
     dataset_cache_dir: str = ".data"
     pdb_dir: Optional[str] = None

@@ -67,11 +67,22 @@ class TrajectoryIterableDataset:
         shuffle: bool = True,
         num_traces_per_chunk: int = 4,
         seed: int = 0,
+        num_replicas: int = 1,
+        rank: int = 0,
     ):
+        """``(num_replicas, rank)`` shard the *molecules* across hosts the
+        way the reference's LMDBDistributedSampler does (reference:
+        datasets/pdb_sampler.py:19-217): rank r reads every
+        num_replicas-th protein, so shards are disjoint and cover all data.
+        On TPU multi-host: rank = jax.process_index(),
+        num_replicas = jax.process_count()."""
+        assert 0 <= rank < num_replicas
         self.raw = raw
         self.shuffle = shuffle
         self.num_traces_per_chunk = num_traces_per_chunk
         self.seed = seed
+        self.num_replicas = num_replicas
+        self.rank = rank
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -82,6 +93,10 @@ class TrajectoryIterableDataset:
         names = list(self.raw.pdb_names)
         if self.shuffle:
             rng.shuffle(names)
+        if self.num_replicas > 1:
+            # Shard AFTER the epoch shuffle so every epoch deals each rank a
+            # different (but globally disjoint, seed-synchronized) subset.
+            names = names[self.rank :: self.num_replicas]
         for c in range(0, len(names), self.num_traces_per_chunk):
             chunk = names[c : c + self.num_traces_per_chunk]
             points: List[MolDynDatapoint] = []

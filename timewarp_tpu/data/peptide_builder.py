@@ -20,6 +20,12 @@ from timewarp_tpu.data.residues import RESIDUE_BONDS
 TEMPLATE_PDBS = [
     "/root/reference/testdata/output/1hgv-traj-state0.pdb",
     "/root/reference/testdata/output/2olx-traj-state0.pdb",
+    # AlphaFold-derived hydrogenated fixtures: supply the residues absent
+    # from 1hgv/2olx (CYS free-thiol, HIS as the HID tautomer, mid-chain
+    # MET), completing all 20 amino acids (the reference generates all 20
+    # via tleap, reference: simulation/create_random_peptides.py).
+    "/root/reference/testdata/AF-O97980-F1-model_v1-traj-state0.pdb",
+    "/root/reference/testdata/AF-P0C6P0-F1-model_v1-traj-state0.pdb",
 ]
 
 AA_CODES = {
@@ -89,6 +95,7 @@ def harvest_templates(pdb_paths: Sequence[str] = tuple(TEMPLATE_PDBS)) -> Dict[s
     from timewarp_tpu.data.pdb import parse_pdb
 
     templates: Dict[str, ResidueTemplate] = {}
+    terminal_candidates: Dict[str, ResidueTemplate] = {}
     for path in pdb_paths:
         topo = parse_pdb(path)
         for res in topo.residues:
@@ -98,7 +105,29 @@ def harvest_templates(pdb_paths: Sequence[str] = tuple(TEMPLATE_PDBS)) -> Dict[s
             if res.name in templates or res.name not in RESIDUE_BONDS:
                 continue
             if is_first or is_last or "OXT" in names:
-                continue  # only mid-chain geometry for the main templates
+                # Terminal instance: usable as a fallback mid-chain template
+                # once the terminal-only atoms (NH3+ extra protons, OXT) are
+                # stripped; the side-chain geometry is unaffected and FIRE
+                # minimization cleans up the backbone afterwards.
+                if res.name not in terminal_candidates:
+                    keep = [
+                        (k, n) for k, n in zip(res.atom_indices, names)
+                        if n not in ("H2", "H3", "OXT")
+                    ]
+                    knames = [("H" if n == "H1" else n) for _, n in keep]
+                    kidx = [k for k, _ in keep]
+                    try:
+                        bb = (knames.index("N"), knames.index("CA"), knames.index("C"))
+                    except ValueError:
+                        continue
+                    terminal_candidates[res.name] = ResidueTemplate(
+                        name=res.name,
+                        atom_names=knames,
+                        elements=[topo.atoms[k].element for k in kidx],
+                        coords=topo.positions[kidx],
+                        backbone_idx=bb,
+                    )
+                continue
             try:
                 bb = (names.index("N"), names.index("CA"), names.index("C"))
             except ValueError:
@@ -110,6 +139,8 @@ def harvest_templates(pdb_paths: Sequence[str] = tuple(TEMPLATE_PDBS)) -> Dict[s
                 coords=topo.positions[res.atom_indices],
                 backbone_idx=bb,
             )
+    for name, t in terminal_candidates.items():
+        templates.setdefault(name, t)
     return templates
 
 

@@ -33,7 +33,10 @@ class CustomAttentionEncoderConfig:
     dim_feedforward: int = 2048
     num_heads: int = 6
     attention_type: str = "kernel"  # kernel | learnable_kernel | chebyshev_kernel | local
-    lengthscales: Optional[Sequence[float]] = None
+    # Default = the flagship AD-1 recipe (one RBF lengthscale per head,
+    # reference: configs/kernel_transformer_nvp.yaml), so ModelConfig() builds
+    # the flagship model out of the box.
+    lengthscales: Optional[Sequence[float]] = (0.1, 0.2, 0.5, 0.7, 1.0, 1.2)
     normalise_kernel_values: bool = True
     max_radius: Optional[float] = None
     max_neighbors: int = 32

@@ -14,7 +14,6 @@ not change the energy.
 import dataclasses
 from typing import List, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from timewarp_tpu.data.elements import ELEMENT_MASSES
@@ -64,13 +63,22 @@ def _assign_types_charges(topology: Topology):
         )
         is_cterm = not is_cap and "OXT" in atom_names
 
-        template = dict(RESIDUES.get(res.name) or {})
+        # Histidine protonation state is determined by which ring hydrogens
+        # are present (OpenMM's ForceField template matching does the same
+        # by atom-set; reference: simulation/md.py addHydrogens output).
+        res_name = res.name
+        if res_name in ("HIS", "HID", "HIE", "HIP"):
+            has_hd1 = "HD1" in atom_names
+            has_he2 = "HE2" in atom_names
+            res_name = "HIP" if (has_hd1 and has_he2) else ("HID" if has_hd1 else "HIE")
+
+        template = dict(RESIDUES.get(res_name) or {})
         if not template:
             raise ValueError(f"no AMBER template for residue {res.name!r}")
 
         if is_nterm:
-            if res.name in N_TERMINAL:
-                template = dict(N_TERMINAL[res.name])
+            if res_name in N_TERMINAL:
+                template = dict(N_TERMINAL[res_name])
             else:
                 # Documented approximation: mid-chain charges, terminal
                 # types, residual +1 charge placed on N.
@@ -88,8 +96,8 @@ def _assign_types_charges(topology: Topology):
                 if "HA" in template:
                     template["HA"] = ("HP", template["HA"][1])
         if is_cterm:
-            if res.name in C_TERMINAL:
-                template = dict(C_TERMINAL[res.name])
+            if res_name in C_TERMINAL:
+                template = dict(C_TERMINAL[res_name])
             else:
                 fallback_terminals.append(f"C-{res.name}{res.resseq}")
                 template = dict(template)
@@ -287,25 +295,30 @@ def build_system(
 
     masses = np.array([ELEMENT_MASSES[a.element] for a in topology.atoms])
 
+    # NOTE: leaves stay as *numpy* arrays. The system rides into jitted
+    # energy functions as captured constants; numpy constants embed directly
+    # at trace time, while device (jnp) constants are fetched back from the
+    # accelerator during lowering -- ~70s of tunnel round-trips per fresh
+    # process for this one function (measured round 2).
     system = AmberSystem(
-        masses=jnp.asarray(masses, jnp.float32),
-        charges=jnp.asarray(charges, jnp.float32),
-        bond_idx=jnp.asarray(bonds, jnp.int32),
-        bond_k=jnp.asarray(bond_k, jnp.float32),
-        bond_r0=jnp.asarray(bond_r0, jnp.float32),
-        angle_idx=jnp.asarray(angle_idx, jnp.int32),
-        angle_k=jnp.asarray(angle_k, jnp.float32),
-        angle_theta0=jnp.asarray(angle_t0, jnp.float32),
-        torsion_idx=jnp.asarray(np.array(t_idx, dtype=np.int32).reshape(-1, 4)),
-        torsion_k=jnp.asarray(np.array(t_k), jnp.float32),
-        torsion_n=jnp.asarray(np.array(t_n), jnp.float32),
-        torsion_phase=jnp.asarray(np.array(t_phase), jnp.float32),
-        lj_sigma=jnp.asarray(lj_sigma, jnp.float32),
-        lj_epsilon=jnp.asarray(lj_eps, jnp.float32),
-        scale_coul=jnp.asarray(scale_coul),
-        scale_lj=jnp.asarray(scale_lj),
-        gb_radii=jnp.asarray(gb_radii, jnp.float32),
-        gb_screen=jnp.asarray(gb_screen, jnp.float32),
+        masses=np.asarray(masses, np.float32),
+        charges=np.asarray(charges, np.float32),
+        bond_idx=np.asarray(bonds, np.int32).reshape(-1, 2),
+        bond_k=np.asarray(bond_k, np.float32),
+        bond_r0=np.asarray(bond_r0, np.float32),
+        angle_idx=np.asarray(angle_idx, np.int32).reshape(-1, 3),
+        angle_k=np.asarray(angle_k, np.float32),
+        angle_theta0=np.asarray(angle_t0, np.float32),
+        torsion_idx=np.array(t_idx, dtype=np.int32).reshape(-1, 4),
+        torsion_k=np.asarray(t_k, np.float32),
+        torsion_n=np.asarray(t_n, np.float32),
+        torsion_phase=np.asarray(t_phase, np.float32),
+        lj_sigma=np.asarray(lj_sigma, np.float32),
+        lj_epsilon=np.asarray(lj_eps, np.float32),
+        scale_coul=np.asarray(scale_coul),
+        scale_lj=np.asarray(scale_lj),
+        gb_radii=np.asarray(gb_radii, np.float32),
+        gb_screen=np.asarray(gb_screen, np.float32),
         cutoff=cutoff,
         gb_model=gb_model,
     )

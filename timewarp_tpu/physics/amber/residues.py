@@ -201,6 +201,26 @@ RESIDUES: Dict[str, Dict[str, T]] = {
         NE2=("NA", -0.2795), HE2=("H", 0.3339),
         CD2=("CW", -0.2207), HD2=("H4", 0.1862),
     ),
+    "HID": _res(
+        BACKBONE,
+        CA=("CT", 0.0188), HA=("H1", 0.0881),
+        CB=("CT", -0.0462), HB2=("HC", 0.0402), HB3=("HC", 0.0402),
+        CG=("CC", -0.0266),
+        ND1=("NA", -0.3811), HD1=("H", 0.3649),
+        CE1=("CR", 0.2057), HE1=("H5", 0.1392),
+        NE2=("NB", -0.5727),
+        CD2=("CV", 0.1292), HD2=("H4", 0.1147),
+    ),
+    "HIP": _res(
+        {"N": ("N", -0.3479), "H": ("H", 0.2747), "C": ("C", 0.7341), "O": ("O", -0.5894)},
+        CA=("CT", -0.1354), HA=("H1", 0.1212),
+        CB=("CT", -0.0414), HB2=("HC", 0.0810), HB3=("HC", 0.0810),
+        CG=("CC", -0.0012),
+        ND1=("NA", -0.1513), HD1=("H", 0.3866),
+        CE1=("CR", -0.0170), HE1=("H5", 0.2681),
+        NE2=("NA", -0.1718), HE2=("H", 0.3911),
+        CD2=("CW", -0.1141), HD2=("H4", 0.2317),
+    ),
     "PRO": _res(
         {"N": ("N", -0.2548), "C": ("C", 0.5896), "O": ("O", -0.5748)},
         CD=("CT", 0.0192), HD2=("H1", 0.0391), HD3=("H1", 0.0391),

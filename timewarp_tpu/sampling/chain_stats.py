@@ -28,18 +28,25 @@ class ChainStats:
     # throughput denominator. The flattened arrays above only keep proposals
     # up to each iteration's first acceptance, like the reference.
     num_proposals: int = 0
+    # Steady-state throughput: proposals/s measured from the completion of
+    # the first segment onward (excludes the one-time XLA compile, whose
+    # duration varies 15-90s with remote-compiler load; see sampling/mh.py).
+    steady_proposals_per_s: float = 0.0
 
     def __len__(self):
         return len(self.acceptance)
+
+    _SCALAR_FIELDS = ("num_proposals", "steady_proposals_per_s")
 
     def __getitem__(self, key):
         return ChainStats(
             **{
                 f.name: getattr(self, f.name)[key]
                 for f in dataclasses.fields(self)
-                if f.name != "num_proposals"
+                if f.name not in self._SCALAR_FIELDS
             },
             num_proposals=self.num_proposals,
+            steady_proposals_per_s=self.steady_proposals_per_s,
         )
 
     def thin(self, step: int) -> "ChainStats":
@@ -96,7 +103,7 @@ def concat_stats(parts):
         **{
             f.name: np.concatenate([getattr(p, f.name) for p in parts], axis=0)
             for f in dataclasses.fields(ChainStats)
-            if f.name != "num_proposals"
+            if f.name not in ChainStats._SCALAR_FIELDS
         },
         num_proposals=sum(p.num_proposals for p in parts),
     )

@@ -20,6 +20,7 @@ acceptance rate.
 """
 import dataclasses
 import math
+import time as _time
 from functools import partial
 from typing import Callable, Optional, Tuple
 
@@ -142,7 +143,11 @@ def make_amber_energy(system, temperature: float = 310.0):
     """Potential energy in kT units: [.., V, 3] -> [..]."""
     kT = kbT_fn(temperature)
 
+    @jax.jit
     def e_pot(coords):
+        # jit is load-bearing: the eager path dispatches hundreds of small
+        # ops individually over the TPU tunnel (~57s for the first call vs
+        # ~2s to compile + run as one program).
         if coords.ndim == 2:
             return potential_energy(system, coords) / kT
         return jax.vmap(lambda c: potential_energy(system, c))(coords) / kT
@@ -308,10 +313,13 @@ K_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
 
 def _bucket(k: int, max_k: int) -> int:
+    """Smallest K bucket >= k, capped at the largest bucket <= max_k (always
+    a member of K_BUCKETS so the compile cache never sees an off-bucket K)."""
+    cap = max(b for b in K_BUCKETS if b <= max_k) if max_k >= K_BUCKETS[0] else K_BUCKETS[0]
     for b in K_BUCKETS:
         if b >= k:
-            return min(b, max_k)
-    return min(K_BUCKETS[-1], max_k)
+            return min(b, cap)
+    return cap
 
 
 class _SegmentRunner:
@@ -478,6 +486,11 @@ def sample_with_model(
 
     def process(outputs):
         nonlocal total_states, accepted_total, acc_prob
+        # ONE batched device->host pull for the whole segment: per-leaf
+        # np.asarray costs ~25ms of tunnel latency per array (15 arrays =
+        # ~0.4s/segment, longer than the segment's device compute);
+        # device_get on the tree overlaps the transfers (~10x faster).
+        outputs = jax.device_get(outputs)
         stats, _ = flatten_segment(outputs)
         all_stats.append(stats)
         first_idx = np.asarray(outputs.first_idx)
@@ -498,6 +511,8 @@ def sample_with_model(
             acc_prob = update_acc_prob(acc_prob, accepted_any, first_idx)
 
     inflight = None  # (outputs,) pending host processing
+    inflight_K = K
+    steady = {"t0": None, "proposals": 0}  # clock starts after first segment
     while total_states < num_samples + 1:
         rng, seg_rng = jax.random.split(rng)
         state, outputs = runner.run(
@@ -505,9 +520,14 @@ def sample_with_model(
         )
         if inflight is not None:
             process(inflight)  # overlaps with the segment just dispatched
+            if steady["t0"] is None:
+                steady["t0"] = _time.perf_counter()
+            else:
+                steady["proposals"] += T * inflight_K
             if adaptive_parallelism:
                 K = next_bucket(acc_prob)
         inflight = outputs
+        inflight_K = K
         # Rough progress estimate without forcing a sync on the inflight
         # segment: assume it contributes at least T states.
         if total_states + T >= num_samples + 1:
@@ -517,8 +537,13 @@ def sample_with_model(
                 K = next_bucket(acc_prob)
     if inflight is not None:
         process(inflight)
+        if steady["t0"] is not None:
+            steady["proposals"] += T * inflight_K
 
     coords = np.concatenate(coords_parts, axis=0)[: num_samples + 1]
     velocs = np.concatenate(velocs_parts, axis=0)[: num_samples + 1]
     stats = concat_stats(all_stats)
+    if steady["t0"] is not None and steady["proposals"]:
+        dt = _time.perf_counter() - steady["t0"]
+        stats.steady_proposals_per_s = steady["proposals"] / dt
     return coords, velocs, accepted_total, stats

@@ -105,11 +105,24 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        fn = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+        def single(state, batch, rng, energy_system=None):
+            # names is HOST metadata (pytree_node=False): it is part of the
+            # jit static signature, so leaving it in place makes every
+            # distinct molecule combination a fresh compile. Nothing inside
+            # the step reads it -- strip it at the jit boundary.
+            batch = batch.replace(names=())
+            if energy_system is None:
+                return fn(state, batch, rng)
+            return fn(state, batch, rng, energy_system)
+
+        return single
 
     cache = {}  # jitted fn resolved lazily from the first state's structure
 
     def jitted(state, batch, rng, energy_system=None):
+        batch = batch.replace(names=())  # static metadata, see above
         key = "fn" if energy_system is None else "fn_es"
         if key not in cache:
             state_shardings = train_state_shardings(state, mesh, zero1=zero1)
@@ -149,4 +162,9 @@ def make_eval_step(model, loss_fn: Callable, mesh: Optional[Mesh] = None):
         metrics["loss"] = loss
         return metrics
 
-    return jax.jit(step_fn)
+    fn = jax.jit(step_fn)
+
+    def evaluate(params, batch, rng, step=0, energy_system=None):
+        return fn(params, batch.replace(names=()), rng, step, energy_system)
+
+    return evaluate
