@@ -12,6 +12,7 @@ phase=180 impropers used by protein force fields the outer-atom order does
 not change the energy.
 """
 import dataclasses
+import math as _math
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -159,6 +160,7 @@ def build_system(
     topology: Topology,
     cutoff: Optional[float] = 2.0,
     gb_model: Optional[str] = "obc2",
+    gb_radii_set: str = "amber99_obc",  # amber99_obc | mbondi2
     strict: bool = True,
     # Torsion corrections fitted to the golden frames overfit badly
     # (held-out force RMSE degrades ~2.5x, tools/fit_torsions.py); keep the
@@ -214,6 +216,32 @@ def build_system(
             t_n.append(per)
             t_phase.append(phase)
 
+    # Calibrated side-chain chi corrections (ildn-style; see
+    # params.SIDECHAIN_CHI_CORRECTIONS). Applied only to quartets whose
+    # central bond is a side-chain chi bond -- the selectivity the published
+    # force field gets from its dedicated 2C/3C atom types.
+    name_of = [a.name for a in topology.atoms]
+    res_of = [a.residue_index for a in topology.atoms]
+    res_names = {r.index: r.name for r in topology.residues}
+    chi_pairs = ({"CA", "CB"}, {"CB", "CG"}, {"CG", "CD"})
+    for (i, j, k, l) in seen:
+        if res_of[j] != res_of[k] or res_names[res_of[j]] == "PRO":
+            continue
+        if {name_of[j], name_of[k]} not in chi_pairs:
+            continue
+        # Lexicographic-min canonicalization (must match
+        # tools/calibrate_sidechains.py, which emitted the table).
+        s1 = (types[i], types[j], types[k], types[l])
+        key = min(s1, tuple(reversed(s1)))
+        for per, c in P.SIDECHAIN_CHI_CORRECTIONS.get(key, ()):
+            # c * cos(n phi) == |c| * (1 + cos(n phi - phase)) - |c|,
+            # phase 0 for c>0 and 180 for c<0; the constant is irrelevant
+            # to forces and cancels in MH energy differences.
+            t_idx.append((i, j, k, l))
+            t_k.append(abs(c))
+            t_n.append(per)
+            t_phase.append(0.0 if c > 0 else _math.pi)
+
     # Impropers at sp2 centers, replicating OpenMM ForceField's improper
     # matching + 'default' (AMBER) atom ordering exactly: the improper
     # dihedral's axis and sign depend on the atom order, so a different
@@ -262,7 +290,6 @@ def build_system(
     except ImportError:
         TORSION_FOURIER_CORRECTIONS = {}
     if use_fitted_corrections and TORSION_FOURIER_CORRECTIONS:
-        import math as _math
 
         for (i, j, k, l) in seen:
             key = canonical_type_key(types, i, j, k, l)
@@ -279,18 +306,27 @@ def build_system(
         lj_sigma[i], lj_eps[i] = P.lj_param(types[i])
     scale_coul, scale_lj = build_scale_matrices(V, bonds, np.array(pairs_14))
 
-    # GB radii/screen by element (H on N special-cased).
+    # GB radii/screen. Radii are class-resolved (hybridization for C, bonded
+    # heavy atom for H, hydroxyl/ether for O) per the amber99_obc.xml table
+    # in params.py; screens are per-element HCT factors.
     gb_radii = np.zeros(V)
     gb_screen = np.zeros(V)
+    radii_table = (
+        P.GB_RADII_AMBER99OBC if gb_radii_set == "amber99_obc" else P.GB_RADII_MBONDI2
+    )
     for a in topology.atoms:
         el = a.element
+        t = types[a.index]
         if el == "H":
             bonded = topology.atoms[adj[a.index][0]].element if adj[a.index] else "C"
-            gb_radii[a.index] = (
-                P.GB_RADII["H_on_N"] if bonded == "N" else P.GB_RADII["H"]
-            )
+            key = {"N": "H_on_N", "O": "H_on_O"}.get(bonded, "H")
+        elif el == "C":
+            key = "C_sp3" if t == "CT" else "C_sp2"
+        elif el == "O":
+            key = "O_hydroxyl" if t in ("OH", "OS") else "O"
         else:
-            gb_radii[a.index] = P.GB_RADII[el]
+            key = el
+        gb_radii[a.index] = radii_table[key]
         gb_screen[a.index] = P.GB_SCREEN[el]
 
     masses = np.array([ELEMENT_MASSES[a.element] for a in topology.atoms])

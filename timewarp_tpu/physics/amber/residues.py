@@ -276,7 +276,10 @@ C_TERMINAL: Dict[str, Dict[str, T]] = {
     "GLN": {
         "N": ("N", -0.3821), "H": ("H", 0.2681),
         "CA": ("CT", -0.2248), "HA": ("H1", 0.1232),
-        "CB": ("CT", 0.0664), "HB2": ("HC", 0.0452), "HB3": ("HC", 0.0452),
+        # CB is negative in all_aminoct94 (a + sign here previously made the
+        # residue sum -0.867 instead of -1; the renormalizer smeared the
+        # 0.133e error over all 17 atoms).
+        "CB": ("CT", -0.0664), "HB2": ("HC", 0.0452), "HB3": ("HC", 0.0452),
         "CG": ("CT", -0.0210), "HG2": ("HC", 0.0203), "HG3": ("HC", 0.0203),
         "CD": ("C", 0.7093), "OE1": ("O", -0.6098),
         "NE2": ("N", -0.9574), "HE21": ("H", 0.4304), "HE22": ("H", 0.4304),
