@@ -98,3 +98,19 @@ def test_atoms_viewer_html(tmp_path):
     assert data["bonds"] == bonds.tolist()
     # .format escaping left no stray template braces in the JS
     assert "{{" not in s and "}}" not in s
+
+
+def test_phi_sign_convention_is_iupac():
+    """L-peptides live at negative phi (alpha/beta regions); a mirrored sign
+    convention would put the reference's own OpenMM trajectory at phi ~ +90
+    (regression: round-2 found the physics dihedral is IUPAC-negated)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from timewarp_tpu.data.pdb import parse_pdb
+    from timewarp_tpu.utils.torsions import ramachandran
+
+    topo = parse_pdb("/root/reference/testdata/output/2olx-traj-state0.pdb")
+    d = np.load("/root/reference/testdata/output/2olx-traj-arrays.npz")
+    phi, _ = ramachandran(jnp.asarray(d["positions"][:50]), topo)
+    assert (np.degrees(np.asarray(phi)) < 0).mean() > 0.95

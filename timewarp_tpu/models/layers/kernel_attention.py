@@ -110,9 +110,12 @@ class KernelAttentionConfig:
     learnable_lengthscales: bool = False
     cheb_order: Optional[int] = None  # set -> Chebyshev-rational basis
     force_asymptotic_zero: bool = False
-    # Use the fused Pallas TPU kernel (ops/attention.py) for the Gaussian
-    # basis: scores never materialize in HBM. Chebyshev falls back to XLA.
-    use_pallas: bool = False
+    # Use the fused Pallas TPU kernels (ops/attention.py): scores never
+    # materialize in HBM (Gaussian and Chebyshev bases; learnable
+    # lengthscales supported -- gradients flow through the fused backward).
+    # None (default) = on when running on TPU, off on CPU (where Pallas TPU
+    # kernels only run under the interpreter).
+    use_pallas: "Optional[bool]" = None
 
     @property
     def num_heads(self) -> int:
@@ -161,13 +164,30 @@ class KernelSelfAttention(nn.Module):
         values = nn.Dense(H * self.d_model, use_bias=False, name="values")(src)
         values = values.reshape(src.shape[0], src.shape[1], H, self.d_model)
 
-        if cfg.use_pallas and cheb_coeffs is None:
+        import jax
+
+        use_pallas = cfg.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        if use_pallas and cheb_coeffs is None:
             from timewarp_tpu.ops.attention import fused_kernel_attention
 
             attended = fused_kernel_attention(
                 dists, values, masked_elements, lengthscales,
                 cfg.normalise_kernel_values,
             )  # [B, V, H, D]
+        elif use_pallas:
+            from timewarp_tpu.ops.attention import fused_chebyshev_attention
+
+            coeffs = cheb_coeffs
+            if cfg.force_asymptotic_zero:
+                # Center OUTSIDE the kernel so the coefficient gradient flows
+                # through the centering via ordinary autodiff.
+                coeffs = coeffs - coeffs.mean(axis=1, keepdims=True)
+            attended = fused_chebyshev_attention(
+                dists, values, masked_elements, lengthscales, coeffs,
+                cfg.normalise_kernel_values,
+            )
         else:
             scores = kernel_attention_scores(
                 dists,

@@ -121,7 +121,13 @@ def make_energy_loss(config, energy_model) -> Callable:
         def e_pot(c):
             return energy_model.potential(c[:, :V_sys])
 
-        return e_pot, energy_model.masses
+        # Zero-pad masses to the (possibly wider) bucketed batch width so
+        # kinetic energies see exactly the real atoms: padding rows have
+        # mass 0 and are excluded by _masked_kinetic (regression: a batch
+        # padded 22 -> 24 crashed the kinetic broadcast).
+        v_batch = batch.atom_coords.shape[1]
+        masses = jnp.pad(jnp.asarray(energy_model.masses), (0, v_batch - V_sys))
+        return e_pot, masses
 
     def acceptance_loss(
         model, params, batch, rng, step=0, energy_system=None

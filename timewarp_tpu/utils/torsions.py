@@ -43,9 +43,17 @@ def phi_psi_indices(topology: Topology) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def compute_torsions(coords: jnp.ndarray, quadruples: np.ndarray) -> jnp.ndarray:
-    """coords [..., V, 3], quadruples [Q, 4] -> angles [..., Q] in radians."""
+    """coords [..., V, 3], quadruples [Q, 4] -> angles [..., Q] in radians,
+    IUPAC sign convention.
+
+    The physics kernel's dihedral is the IUPAC angle NEGATED (its b0 vector
+    points p0->p1 where the IUPAC formula uses p1->p0); the energy only uses
+    cos(n*phi - {0, pi}) which is parity-even, so the physics is unaffected,
+    but analysis angles must be flipped or every Ramachandran plot mirrors
+    the literature (caught round 2: L-peptides read phi ~ +90).
+    """
     p = coords[..., quadruples, :]  # [..., Q, 4, 3]
-    return dihedral_angle(
+    return -dihedral_angle(
         p[..., 0, :], p[..., 1, :], p[..., 2, :], p[..., 3, :]
     )
 

@@ -107,6 +107,8 @@ def main():
     ap.add_argument("--ff", type=int, default=2048)
     ap.add_argument("--coupling", type=int, default=8)
     ap.add_argument("--enc-layers", type=int, default=3)
+    ap.add_argument("--valid-walkers", type=int, default=0,
+                    help="hold out this many whole walkers for validation NLL")
     args = ap.parse_args()
     if args.quick:
         args.frames, args.train_steps, args.mh_samples = 200, 50, 100
@@ -164,6 +166,16 @@ def run_train_and_mh(args, topo, system, traj_coords, traj_velocs):
     import pickle
 
     V = topo.num_atoms
+    # Held-out validation split by WHOLE walkers (the reference protocol
+    # holds out trajectories, not frames; valid NLL anchor: -6.56 on AD-1,
+    # reference: configs/kernel_transformer_nvp.yaml:1-3).
+    valid_coords = valid_velocs = None
+    if args.valid_walkers > 0:
+        valid_coords = traj_coords[: args.valid_walkers]
+        valid_velocs = traj_velocs[: args.valid_walkers]
+        traj_coords = traj_coords[args.valid_walkers :]
+        traj_velocs = traj_velocs[args.valid_walkers :]
+        print(f"split: {traj_coords.shape[0]} train / {valid_coords.shape[0]} valid walkers", flush=True)
     # --- 2. Training ---
     model = build_model(
         ModelConfig(
@@ -206,6 +218,28 @@ def run_train_and_mh(args, topo, system, traj_coords, traj_velocs):
 
     batches = make_batches(traj_coords, traj_velocs, args.batch_size, nprng, topo)
 
+    valid_nll_fn = None
+    if valid_coords is not None:
+        from timewarp_tpu.training.train_step import make_eval_step
+
+        vrng = np.random.default_rng(99)
+        nll_loss = make_loss(LossConfig(name="nll", random_velocs=True))
+        eval_step = make_eval_step(model, nll_loss)
+
+        # A fixed deterministic valid set: one pass of batches.
+        v_batches = []
+        vb = make_batches(valid_coords, valid_velocs, args.batch_size, vrng, topo)
+        n_valid = valid_coords.shape[0] * (valid_coords.shape[1] - 1)
+        for _ in range(max(n_valid // args.batch_size, 1)):
+            v_batches.append(next(vb))
+
+        def valid_nll_fn(params):
+            tot = 0.0
+            for j, b in enumerate(v_batches):
+                m = eval_step(params, b, jax.random.PRNGKey(1000 + j))
+                tot += float(m["loss"])
+            return tot / len(v_batches)
+
     def train_phase(params, loss_cfg, steps, lr, tag, energy_model=None):
         optimizer = build_optimizer(
             OptimizerConfig(learning_rate=lr, warmup_steps=min(1000, steps // 4 + 1),
@@ -223,6 +257,8 @@ def run_train_and_mh(args, topo, system, traj_coords, traj_velocs):
                 extra = ""
                 if "mh_acceptance_estimate" in metrics:
                     extra = f" acc~{float(metrics['mh_acceptance_estimate']):.4f}"
+                if valid_nll_fn is not None and (i % 5000 == 0 or i == steps - 1):
+                    extra += f" valid_nll {valid_nll_fn(state.params):8.3f}"
                 print(
                     f"[{tag}] step {i:6d} loss {last:9.3f}{extra} "
                     f"({(time.time()-t0)/(i+1)*1000:.0f} ms/step)",
@@ -230,12 +266,19 @@ def run_train_and_mh(args, topo, system, traj_coords, traj_velocs):
                 )
         return state.params, last
 
+    def checkpoint(params, tag):
+        if args.save_params:
+            with open(args.save_params, "wb") as f:
+                pickle.dump(jax.device_get(params), f)
+            print(f"saved params ({tag}) -> {args.save_params}", flush=True)
+
     if args.train_steps > 0:
         params, nll = train_phase(
             params, LossConfig(name="nll", random_velocs=True),
             args.train_steps, args.lr, "nll",
         )
         losses = [nll]
+        checkpoint(params, "post-nll")
     if args.finetune_steps > 0:
         from timewarp_tpu.physics.losses import EnergyModel
 
