@@ -152,6 +152,13 @@ def lengths_to_mask(lengths: np.ndarray, max_len: Optional[int] = None) -> np.nd
 
 
 def _pad_stack(arrays: Sequence[np.ndarray], max_len: int, fill=0.0) -> np.ndarray:
+    if fill == 0.0:
+        # Native C++ path: one call pads the whole field with no per-row
+        # Python work (timewarp_tpu/native/collate_ext.cc); falls back to
+        # numpy inside when the toolchain is unavailable.
+        from timewarp_tpu.data.native_collate import pad_stack as _native_pad
+
+        return _native_pad(arrays, max_len)
     out_shape = (len(arrays), max_len) + tuple(arrays[0].shape[1:])
     out = np.full(out_shape, fill, dtype=arrays[0].dtype)
     for i, a in enumerate(arrays):

@@ -252,6 +252,8 @@ def run_train_and_mh(args, topo, system, traj_coords, traj_velocs):
         last = float("nan")
         for i in range(steps):
             state, metrics = step(state, next(batches), jax.random.PRNGKey(10))
+            if i > 0 and i % 10000 == 0:
+                checkpoint(state.params, f"{tag}-step{i}")
             if i % 500 == 0 or i == steps - 1:
                 last = float(metrics["loss"])
                 extra = ""
