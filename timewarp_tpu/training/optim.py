@@ -13,12 +13,29 @@ from typing import Optional
 import optax
 
 
-def linear_warmup_schedule(learning_rate: float, warmup_steps: int):
+def linear_warmup_schedule(
+    learning_rate: float,
+    warmup_steps: int,
+    decay_steps: Optional[int] = None,
+    min_lr_factor: float = 0.01,
+):
+    """Reference warmup (lr * min(1, step/warmup) then constant), optionally
+    followed by cosine decay to ``learning_rate * min_lr_factor`` over
+    ``decay_steps`` total steps -- the constant tail leaves precision on the
+    table for the stiff-mode fit the MH acceptance depends on."""
+
     def schedule(step):
-        frac = optax.safe_increment(step) / max(warmup_steps, 1)
         import jax.numpy as jnp
 
-        return learning_rate * jnp.minimum(1.0, frac)
+        step = optax.safe_increment(step)
+        lr = learning_rate * jnp.minimum(1.0, step / max(warmup_steps, 1))
+        if decay_steps:
+            t = jnp.clip(
+                (step - warmup_steps) / max(decay_steps - warmup_steps, 1), 0.0, 1.0
+            )
+            cos = 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+            lr = lr * (min_lr_factor + (1.0 - min_lr_factor) * cos)
+        return lr
 
     return schedule
 
@@ -30,10 +47,19 @@ class OptimizerConfig:
     warmup_steps: int = 1000
     weight_decay: float = 0.0
     clip_grad_norm: Optional[float] = None
+    # Cosine decay to learning_rate * min_lr_factor over decay_steps total
+    # steps (None = reference behaviour: constant after warmup).
+    decay_steps: Optional[int] = None
+    min_lr_factor: float = 0.01
 
 
 def build_optimizer(config: OptimizerConfig) -> optax.GradientTransformation:
-    schedule = linear_warmup_schedule(config.learning_rate, config.warmup_steps)
+    schedule = linear_warmup_schedule(
+        config.learning_rate,
+        config.warmup_steps,
+        config.decay_steps,
+        config.min_lr_factor,
+    )
     if config.name == "adam":
         if config.weight_decay:
             core = optax.adamw(schedule, weight_decay=config.weight_decay)

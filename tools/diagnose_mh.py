@@ -147,11 +147,62 @@ def main():
         kin_y = 0.5 * jnp.sum(yv**2, axis=(-2, -1))
         logp_yx = reverse_logp_fn(params, yc, yv, x_coords, x_velocs)
         log_acc = -((e_y - e_x) + (kin_y - kin_x) + logp_xy - logp_yx)
-        return yc, jnp.minimum(log_acc, 0.0)
+        parts = {
+            "dE_pot": e_y - e_x,
+            "dE_kin": kin_y - kin_x,
+            "logp_xy": logp_xy,
+            "logp_yx": logp_yx,
+        }
+        return yc, jnp.minimum(log_acc, 0.0), parts
+
+    @jax.jit
+    def data_pair_acc(x_coords, y_coords, rng):
+        """MH exponent when the 'proposal' is the data's own MD successor:
+        separates 'proposals are bad' from 'the acceptance math/energies
+        reject even genuine transitions'."""
+        k1, k2 = jax.random.split(rng)
+        x_velocs = jax.random.normal(k1, (V, 3))
+        y_velocs = jax.random.normal(k2, y_coords.shape)
+        e_x = energy_fn(x_coords)
+        e_y = energy_fn(y_coords)
+        kin_x = 0.5 * jnp.sum(x_velocs**2, axis=(-2, -1))
+        kin_y = 0.5 * jnp.sum(y_velocs**2, axis=(-2, -1))
+        logp_xy = model.apply(
+            params, jnp.tile(atom_types1, (y_coords.shape[0], 1)),
+            jnp.broadcast_to(x_coords, y_coords.shape),
+            jnp.broadcast_to(x_velocs, y_coords.shape), y_coords, y_velocs,
+            jnp.tile(mask1, (y_coords.shape[0], 1)), method="log_likelihood",
+        )
+        logp_yx = reverse_logp_fn(params, y_coords, y_velocs, x_coords, x_velocs)
+        log_acc = -((e_y - e_x) + (kin_y - kin_x) + logp_xy - logp_yx)
+        return jnp.minimum(log_acc, 0.0), e_y - e_x, logp_xy - logp_yx
+
+    # --- data-pair acceptance: genuine MD successors as proposals ---
+    W_, T_ = coords.shape[:2]
+    rngs = jax.random.PRNGKey(123)
+    n_pairs = 256
+    xs = coords[0, :n_pairs]
+    ys = coords[0, 1 : n_pairs + 1]
+    accs, des, dlogs = [], [], []
+    for i in range(0, n_pairs, 64):
+        la, de, dl = data_pair_acc(
+            jnp.asarray(xs[i]), jnp.asarray(ys[i : i + 64]),
+            jax.random.fold_in(rngs, i),
+        )
+        accs.append(np.exp(np.asarray(la)))
+        des.append(np.asarray(de))
+        dlogs.append(np.asarray(dl))
+    accs = np.concatenate(accs); des = np.concatenate(des); dlogs = np.concatenate(dlogs)
+    print(
+        f"data-pair 'proposals' (MD successors of frame i, 64 targets each): "
+        f"acc mean {accs.mean():.4f} med {np.median(accs):.2e}; "
+        f"dE_pot med {np.median(des):+.1f} kT; (logp_xy - logp_yx) med {np.median(dlogs):+.1f}",
+        flush=True,
+    )
 
     for tag, idx in (("beta ", idx_beta), ("alphaR", idx_alpha)):
         x = jnp.asarray(sub[idx])
-        yc, log_acc = diag(x, jax.random.PRNGKey(0))
+        yc, log_acc, parts = diag(x, jax.random.PRNGKey(0))
         phi, psi = ramachandran(yc, topo)
         lab = basin_labels(phi, psi)
         acc = np.exp(np.asarray(log_acc))
@@ -166,11 +217,16 @@ def main():
                 f"P(acc>1%) {(a > 0.01).mean():.3f} max {a.max():.3f}"
             )
 
+        p = {k: np.asarray(v) for k, v in parts.items()}
         print(
             f"from {tag} (basin {start}): proposals land alphaR "
             f"{(lab==0).mean():.3f} beta {(lab==1).mean():.3f} alphaL {(lab==2).mean():.3f}\n"
             f"   same-basin acc: {s(acc[~crossing])}\n"
-            f"   crossing   acc: {s(acc[crossing])}",
+            f"   crossing   acc: {s(acc[crossing])}\n"
+            f"   exponent parts (median): dE_pot {np.median(p['dE_pot']):+.1f} kT, "
+            f"dE_kin {np.median(p['dE_kin']):+.1f}, logp_xy {np.median(p['logp_xy']):+.1f}, "
+            f"logp_yx {np.median(p['logp_yx']):+.1f}, "
+            f"(xy-yx) {np.median(p['logp_xy'] - p['logp_yx']):+.1f}",
             flush=True,
         )
 

@@ -109,6 +109,10 @@ def main():
     ap.add_argument("--enc-layers", type=int, default=3)
     ap.add_argument("--valid-walkers", type=int, default=0,
                     help="hold out this many whole walkers for validation NLL")
+    ap.add_argument("--lr-decay", action="store_true",
+                    help="cosine-decay the LR to lr/100 over each phase")
+    ap.add_argument("--data-seed", type=int, default=0,
+                    help="PRNG seed family for MD data generation")
     args = ap.parse_args()
     if args.quick:
         args.frames, args.train_steps, args.mh_samples = 200, 50, 100
@@ -123,21 +127,27 @@ def main():
     # (sequential Langevin steps are latency-bound at 22 atoms; walkers
     # amortize the dispatch and fill the VPU) ---
     if args.load_data:
-        z = np.load(args.load_data)
-        traj_coords, traj_velocs = z["coords"], z["velocs"]
+        # Comma-separated NPZ list concatenates along the walker axis.
+        cs, vs = [], []
+        for path in args.load_data.split(","):
+            z = np.load(path)
+            cs.append(z["coords"])
+            vs.append(z["velocs"])
+        traj_coords = np.concatenate(cs, axis=0)
+        traj_velocs = np.concatenate(vs, axis=0)
         print(f"loaded data {traj_coords.shape}", flush=True)
         return run_train_and_mh(args, topo, system, traj_coords, traj_velocs)
     t0 = time.time()
     W = args.walkers
     frames_per_walker = max(args.frames // W, 2)
-    keys = jax.random.split(jax.random.PRNGKey(0), W)
+    keys = jax.random.split(jax.random.PRNGKey(args.data_seed), W)
     coords0 = jnp.tile(jnp.asarray(topo.positions)[None], (W, 1, 1))
     velocs0 = jax.vmap(lambda k: maxwell_boltzmann_velocities(system, k))(keys)
 
     burn = jax.jit(
         jax.vmap(lambda c, v, k: run_segment(system, c, v, k, num_steps=20000))
     )
-    coords, velocs = burn(coords0, velocs0, jax.random.split(jax.random.PRNGKey(1), W))
+    coords, velocs = burn(coords0, velocs0, jax.random.split(jax.random.PRNGKey(args.data_seed + 1), W))
     traj = jax.jit(
         jax.vmap(
             lambda c, v, k: sample_trajectory(
@@ -145,7 +155,7 @@ def main():
             )
         )
     )
-    traj_coords, traj_velocs = traj(coords, velocs, jax.random.split(jax.random.PRNGKey(2), W))
+    traj_coords, traj_velocs = traj(coords, velocs, jax.random.split(jax.random.PRNGKey(args.data_seed + 2), W))
     # [W, T, V, 3]; pairs are consecutive frames WITHIN a walker.
     traj_coords = np.asarray(traj_coords)
     traj_velocs = np.asarray(traj_velocs)
@@ -243,7 +253,8 @@ def run_train_and_mh(args, topo, system, traj_coords, traj_velocs):
     def train_phase(params, loss_cfg, steps, lr, tag, energy_model=None):
         optimizer = build_optimizer(
             OptimizerConfig(learning_rate=lr, warmup_steps=min(1000, steps // 4 + 1),
-                            clip_grad_norm=1.0)
+                            clip_grad_norm=1.0,
+                            decay_steps=steps if args.lr_decay else None)
         )
         state = TrainState.create(params, optimizer)
         loss_fn = make_loss(loss_cfg, energy_model=energy_model)
@@ -299,6 +310,9 @@ def run_train_and_mh(args, topo, system, traj_coords, traj_velocs):
         print(f"saved params -> {args.save_params}", flush=True)
 
     # --- 3. MH sampling ---
+    if args.mh_samples <= 0:
+        print("RESULT", {"final_nll": losses[-1]}, flush=True)
+        return
     atom_types1 = jnp.asarray(np.pad(topo.atom_types[None], ((0, 0), (0, 0))))
     mask1 = jnp.zeros((1, V), bool)
     propose_fn, reverse_logp_fn = make_flow_proposal(model, atom_types1, mask1)
