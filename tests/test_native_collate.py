@@ -70,3 +70,14 @@ def test_collate_dense_uses_native(rng, dummy_datapoints):
         np.asarray(b.atom_coords[0, :3]), dummy_datapoints[0].atom_coords
     )
     assert bool(np.asarray(b.masked_elements[0, 3:]).all())
+
+
+def test_pad_stack_mixed_dtypes_falls_back(rng):
+    """An off-dtype row must not be reinterpreted as raw bytes."""
+    arrays = [
+        np.ones((2, 3), np.float32),
+        (rng.normal(size=(3, 3))).astype(np.float64),
+    ]
+    out = nc.pad_stack(arrays, 4)
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out[1, :3], arrays[1].astype(np.float32))

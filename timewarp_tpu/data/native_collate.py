@@ -70,7 +70,11 @@ def pad_stack(arrays: Sequence[np.ndarray], v_pad: int) -> np.ndarray:
     first = arrays[0]
     out = np.zeros((len(arrays), v_pad) + first.shape[1:], dtype=first.dtype)
     ext = _load()
-    if ext is not None:
+    # The C side copies raw bytes, so a stray off-dtype array (e.g. float64
+    # rows into a float32 batch) would silently reinterpret; only take the
+    # native path for homogeneous dtypes and let numpy's assignment handle
+    # (and upcast-check) the rest.
+    if ext is not None and all(a.dtype == first.dtype for a in arrays):
         try:
             ext.pad_stack_into(arrays, out)
             return out
