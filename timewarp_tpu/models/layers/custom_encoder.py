@@ -43,7 +43,11 @@ class CustomAttentionEncoderConfig:
     cheb_order: Optional[int] = None
     force_asymptotic_zero: bool = False
     activation: str = "relu"
-    use_pallas: bool = False  # fused TPU attention kernel (ops/attention.py)
+    # Fused TPU attention kernel (ops/attention.py). None = auto: on when
+    # running on TPU (measured at parity with the XLA path at V=24..1024
+    # while never materializing [B,H,V,V] scores in HBM), off on CPU where
+    # Pallas TPU kernels only run under the interpreter.
+    use_pallas: "Optional[bool]" = None
 
     def attention_config(self):
         if self.attention_type == "local":
