@@ -200,9 +200,23 @@ def main():
         flush=True,
     )
 
+    from timewarp_tpu.physics.energy import potential_energy_terms
+
+    @jax.jit
+    def term_delta(x_coords, y_coords):
+        """Median per-term energy excess of proposals over the current
+        state, in kT -- pinpoints where proposal heat lives."""
+        kT_ = float(kbT())
+        tx = potential_energy_terms(system, x_coords)
+        ty = jax.vmap(lambda c: potential_energy_terms(system, c))(y_coords)
+        return {k: (ty[k] - tx[k]) / kT_ for k in tx}
+
     for tag, idx in (("beta ", idx_beta), ("alphaR", idx_alpha)):
         x = jnp.asarray(sub[idx])
         yc, log_acc, parts = diag(x, jax.random.PRNGKey(0))
+        td = {k: float(np.median(np.asarray(v))) for k, v in term_delta(x, yc).items()}
+        print("   dE by term (median kT): "
+              + " ".join(f"{k} {v:+.1f}" for k, v in td.items()), flush=True)
         phi, psi = ramachandran(yc, topo)
         lab = basin_labels(phi, psi)
         acc = np.exp(np.asarray(log_acc))

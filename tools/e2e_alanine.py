@@ -100,6 +100,8 @@ def main():
     ap.add_argument("--finetune-steps", type=int, default=0,
                     help="acceptance-loss fine-tuning steps after NLL training")
     ap.add_argument("--finetune-weight", type=float, default=0.1)
+    ap.add_argument("--finetune-loss", default="nll_acceptance",
+                    choices=["nll_acceptance", "nll_energy"])
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--mh-samples", type=int, default=4000)
@@ -297,7 +299,7 @@ def run_train_and_mh(args, topo, system, traj_coords, traj_velocs):
 
         em = EnergyModel(system=system)
         cfg = LossConfig(
-            name="nll_acceptance", random_velocs=True, clamp=True,
+            name=args.finetune_loss, random_velocs=True, clamp=True,
             high_energy_threshold=300.0,
             weights=(1.0 - args.finetune_weight, args.finetune_weight),
         )
