@@ -47,11 +47,20 @@ def main():
     velocs0 = jnp.zeros((V, 3))
 
     params = None
-    for cand in ("runs/ad_params8.pkl", "runs/ad_params7.pkl", "runs/ad_params6.pkl", "runs/ad_params5.pkl", "runs/ad_params4.pkl", "runs/ad_params2.pkl", "runs/ad_params.pkl"):
-        if os.path.exists(cand):
+    # Newest trained parameter set wins (all ad_params*.pkl share the
+    # flagship architecture).
+    import glob
+
+    cands = sorted(
+        glob.glob("runs/ad_params*.pkl"), key=os.path.getmtime, reverse=True
+    )
+    for cand in cands:
+        try:
             with open(cand, "rb") as f:
                 params = jax.device_put(pickle.load(f))
             break
+        except Exception:
+            continue
     if params is None:
         params = jax.jit(model.init)(
             jax.random.PRNGKey(0), atom_types, coords0[None], velocs0[None],
