@@ -73,3 +73,24 @@ def test_force_asymptotic_zero_centering():
     val = chebyshev_basis(scaled, coeffs, force_asymptotic_zero=True)
     # At infinity all R_n -> 1, so the centred coefficients sum to 0.
     np.testing.assert_allclose(np.asarray(val), 0.0, atol=1e-4)
+
+
+def test_use_pallas_shape_gate():
+    """The auto gate keeps small molecules on the XLA path (the round-2 3.5x
+    MH regression), enables Pallas only for large-V on TPU, and explicit
+    True/False always wins."""
+    from timewarp_tpu.models.layers.kernel_attention import (
+        PALLAS_MIN_V,
+        resolve_use_pallas,
+    )
+
+    # Auto on TPU: shape-gated.
+    assert not resolve_use_pallas(None, 22, backend="tpu")
+    assert not resolve_use_pallas(None, PALLAS_MIN_V - 1, backend="tpu")
+    assert resolve_use_pallas(None, PALLAS_MIN_V, backend="tpu")
+    assert resolve_use_pallas(None, 2000, backend="axon")
+    # Auto on CPU: always off (Pallas TPU kernels need the interpreter).
+    assert not resolve_use_pallas(None, 2000, backend="cpu")
+    # Explicit overrides win over the gate.
+    assert resolve_use_pallas(True, 22, backend="cpu")
+    assert not resolve_use_pallas(False, 2000, backend="tpu")

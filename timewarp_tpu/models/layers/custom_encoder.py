@@ -43,10 +43,10 @@ class CustomAttentionEncoderConfig:
     cheb_order: Optional[int] = None
     force_asymptotic_zero: bool = False
     activation: str = "relu"
-    # Fused TPU attention kernel (ops/attention.py). None = auto: on when
-    # running on TPU (measured at parity with the XLA path at V=24..1024
-    # while never materializing [B,H,V,V] scores in HBM), off on CPU where
-    # Pallas TPU kernels only run under the interpreter.
+    # Fused TPU attention kernel (ops/attention.py). None = shape-gated
+    # auto: on only on TPU AND when the molecule has >= PALLAS_MIN_V atoms
+    # (kernel_attention.py) -- the kernel pads V to a multiple of 128, so on
+    # small molecules the XLA path is ~3.5x faster end-to-end (round-2 A/B).
     use_pallas: "Optional[bool]" = None
 
     def attention_config(self):

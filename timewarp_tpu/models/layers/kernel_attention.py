@@ -103,6 +103,26 @@ def kernel_attention_scores(
     return scores
 
 
+# Minimum (unpadded) atom count at which the auto use_pallas gate enables the
+# fused kernel. Below this, the XLA einsum path is faster end-to-end: Pallas
+# pads V to a multiple of 128 and the round-2 A/B on the real chip measured
+# 18,782 proposals/s (XLA) vs 5,312 (Pallas) for a V=22 dipeptide.
+PALLAS_MIN_V = 256
+
+
+def resolve_use_pallas(configured, num_atoms, backend=None):
+    """Resolve the use_pallas tri-state: explicit True/False wins; None is
+    the shape-gated auto default (TPU backend AND num_atoms >= PALLAS_MIN_V).
+    """
+    if configured is not None:
+        return configured
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    return backend not in ("cpu",) and num_atoms >= PALLAS_MIN_V
+
+
 @dataclasses.dataclass
 class KernelAttentionConfig:
     lengthscales: Sequence[float]  # one per head
@@ -113,8 +133,12 @@ class KernelAttentionConfig:
     # Use the fused Pallas TPU kernels (ops/attention.py): scores never
     # materialize in HBM (Gaussian and Chebyshev bases; learnable
     # lengthscales supported -- gradients flow through the fused backward).
-    # None (default) = on when running on TPU, off on CPU (where Pallas TPU
-    # kernels only run under the interpreter).
+    # None (default) = shape-gated auto: on only when running on TPU AND the
+    # molecule is large enough that the fused kernel wins. The Pallas path
+    # pads V up to a multiple of 128, so a 22-atom dipeptide would do ~28x
+    # the attention arithmetic and lose XLA fusion around each call --
+    # measured 3.5x end-to-end MH slowdown (18.8k -> 5.3k proposals/s).
+    # Explicit True/False always wins over the auto gate.
     use_pallas: "Optional[bool]" = None
 
     @property
@@ -164,11 +188,12 @@ class KernelSelfAttention(nn.Module):
         values = nn.Dense(H * self.d_model, use_bias=False, name="values")(src)
         values = values.reshape(src.shape[0], src.shape[1], H, self.d_model)
 
-        import jax
-
-        use_pallas = cfg.use_pallas
-        if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+        # Shape gate: the fused kernel pads V to a multiple of 128 and
+        # breaks XLA's fusion of the surrounding elementwise ops, so it only
+        # wins once the true [V, V] score tile is MXU-sized (crossover around
+        # V ~ 256 on a v5e chip; at V >= 512 the Pallas forward matches or
+        # beats XLA while never materializing [B,H,V,V] in HBM).
+        use_pallas = resolve_use_pallas(cfg.use_pallas, src.shape[1])
         if use_pallas and cheb_coeffs is None:
             from timewarp_tpu.ops.attention import fused_kernel_attention
 

@@ -24,13 +24,16 @@ kernels keep score blocks in VMEM only:
 Bases: Gaussian exp(-(d/ls)^2) and the Chebyshev-rational expansion of
 exp(-x) (reference: modules/layers/kernel_attention.py:292-331).
 
-Measured on one v5e chip (round 2): forward is at parity with the XLA path
-across shapes (V=128 B=64: 1.32 vs 1.44 ms in Pallas's favor; V=512 B=32:
-2.73 vs 2.70; V=1024 B=8: 1.49 vs 1.41 -- XLA's einsum fusion handles this
-op well, so the fused kernel's main wins are (a) never holding [B,H,V,V]
-score tensors in HBM, which at training scale frees hundreds of MB for
-bigger batches, and (b) headroom for deeper in-kernel fusion later. The MH
-bench is unchanged (18.8k proposals/s with the kernel live).
+Measured on one v5e chip (round 2): isolated-op forward is at parity with
+the XLA path at MXU-sized shapes (V=512 B=32: 2.73 vs 2.70 ms; V=1024 B=8:
+1.49 vs 1.41). BUT end-to-end the kernel LOSES badly on small molecules:
+it pads V up to a multiple of 128 (a 22-atom dipeptide does ~28x the
+arithmetic) and breaks XLA's fusion of the surrounding elementwise ops --
+the round-2 A/B on the real chip measured 18,782 proposals/s (XLA) vs
+5,312 (Pallas) on the AD-1 MH loop. Hence the shape gate in
+models/layers/kernel_attention.py (PALLAS_MIN_V): the fused kernel is for
+T1-scale molecules (V >~ 256), where its wins are (a) never holding
+[B,H,V,V] score tensors in HBM and (b) in-kernel fusion headroom.
 """
 import functools
 
