@@ -38,3 +38,59 @@ def test_langevin_stable_and_thermalizes():
     ke = 0.5 * float((m[:, None] * np.asarray(velocs1) ** 2).sum())
     target = 1.5 * system.num_atoms * kbT()
     assert 0.4 * target < ke < 1.9 * target, (ke, target)
+
+
+def test_log_spacing_roundtrip(tmp_path):
+    """simulate --log-spacing produces the reference LogarithmicSpacing step
+    pattern (simulation/npzreporter.py:44-87) and load_trajectory_pairs
+    infers the spacing and pairs states without crossing blocks
+    (reference: dataloader.py:236-248)."""
+    from timewarp_tpu.cli.simulate import main as simulate_main
+    from timewarp_tpu.data.trajectory import infer_spacing, load_trajectory_pairs
+    from timewarp_tpu.physics.integrator import log_spaced_offsets
+
+    assert log_spaced_offsets(10_000, 10) == (1, 10, 100, 1000, 10_000)
+    assert log_spaced_offsets(500, 10) == (1, 10, 100, 500)
+
+    prefix = str(tmp_path / "ad")
+    simulate_main([
+        AD_PDB, prefix, "--frames", "9", "--spacing", "100",
+        "--burn-in", "10", "--log-spacing",
+    ])
+    data = np.load(prefix + "-traj-arrays.npz")
+    steps = data["step"]
+    # 3 offsets per block (1, 10, 100), 3 blocks.
+    np.testing.assert_array_equal(
+        steps, [1, 10, 100, 101, 110, 200, 201, 210, 300]
+    )
+    assert infer_spacing(steps) == 100
+
+    traj = load_trajectory_pairs("ad", prefix + "-traj-state0.pdb",
+                                 prefix + "-traj-arrays.npz", step_width=1)
+    # step_width=1 pairs exist exactly at block boundaries: (100,101),(200,201).
+    assert traj.num_pairs == 2
+    i100 = int(np.nonzero(steps == 100)[0][0])
+    np.testing.assert_allclose(
+        np.sort(traj.coord_features.reshape(2, -1), axis=0),
+        np.sort(np.asarray(data["positions"])[[i100, i100 + 3]].reshape(2, -1), axis=0),
+    )
+
+
+def test_simulate_walkers_write_separate_files(tmp_path):
+    """--walkers W > 1 writes one NPZ per walker so step-index pairing can
+    never create fake cross-walker transitions."""
+    from timewarp_tpu.cli.simulate import main as simulate_main
+
+    prefix = str(tmp_path / "ad")
+    simulate_main([
+        AD_PDB, prefix, "--frames", "4", "--spacing", "10",
+        "--burn-in", "5", "--walkers", "2",
+    ])
+    import os
+    for w in range(2):
+        assert os.path.exists(f"{prefix}-w{w}-traj-arrays.npz")
+        assert os.path.exists(f"{prefix}-w{w}-traj-state0.pdb")
+        d = np.load(f"{prefix}-w{w}-traj-arrays.npz")
+        assert d["positions"].shape[0] == 4
+        np.testing.assert_array_equal(d["step"], [10, 20, 30, 40])
+    assert not os.path.exists(prefix + "-traj-arrays.npz")

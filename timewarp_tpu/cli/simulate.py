@@ -4,12 +4,19 @@ Langevin engine with vmapped walkers).
 
 Usage:
   python -m timewarp_tpu.cli.simulate <input.pdb> <output-prefix> \
-      [--frames N] [--spacing S] [--burn-in B] [--walkers W] [--log-spacing]
+      [--frames N] [--spacing S] [--burn-in B] [--walkers W] \
+      [--log-spacing] [--space-factor F]
 
 Writes `{prefix}-traj-state0.pdb` (copy of the topology source) and
 `{prefix}-traj-arrays.npz` with step/time/positions/velocities/forces/
 energies -- the same schema the data layer ingests
-(reference: simulation/npzreporter.py:17-293).
+(reference: simulation/npzreporter.py:17-293). With `--walkers W > 1`,
+each walker gets its own `{prefix}-w{i}-...` file pair so step indices
+never pair frames across independent walkers. With `--log-spacing`,
+frames follow the reference's LogarithmicSpacing pattern (offsets
+{1, F, F^2, ..., spacing} inside each spacing-length block, reference:
+simulation/npzreporter.py:44-87), which `load_trajectory_pairs` infers
+back via `largest_interval * 10 // 9` (reference: dataloader.py:236-248).
 """
 import argparse
 import shutil
@@ -18,29 +25,20 @@ import time
 import numpy as np
 
 
-def logarithmic_steps(spacing: int, count: int, factor: int = 10):
-    """Step indices with the reference's logarithmic spacing pattern: within
-    each decade of length spacing*factor, record every `spacing` steps
-    (reference: simulation/npzreporter.py:44-87)."""
-    steps = []
-    s = spacing
-    t = 0
-    while len(steps) < count:
-        t += s
-        steps.append(t)
-        if len(steps) % (factor - 1) == 0:
-            s *= factor
-    return np.array(steps[:count], dtype=np.int64)
-
-
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("input_pdb")
     ap.add_argument("output_prefix")
-    ap.add_argument("--frames", type=int, default=1000)
-    ap.add_argument("--spacing", type=int, default=1000, help="steps between frames")
+    ap.add_argument("--frames", type=int, default=1000,
+                    help="frames per walker (log-spacing rounds up to whole blocks)")
+    ap.add_argument("--spacing", type=int, default=1000,
+                    help="steps between frames (report interval for --log-spacing)")
     ap.add_argument("--burn-in", type=int, default=100_000)
     ap.add_argument("--walkers", type=int, default=1)
+    ap.add_argument("--log-spacing", action="store_true",
+                    help="record at logarithmic offsets within each spacing block")
+    ap.add_argument("--space-factor", type=int, default=10,
+                    help="logarithmic spacing factor (with --log-spacing)")
     ap.add_argument("--temperature", type=float, default=310.0)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -54,9 +52,11 @@ def main(argv=None):
     from timewarp_tpu.physics.energy import batched_potential_energy, potential_energy
     from timewarp_tpu.physics.integrator import (
         LangevinConfig,
+        log_spaced_offsets,
         maxwell_boltzmann_velocities,
         run_segment,
         sample_trajectory,
+        sample_trajectory_log,
     )
 
     topo = parse_pdb(args.input_pdb)
@@ -68,7 +68,6 @@ def main(argv=None):
     cfg = LangevinConfig(temperature=args.temperature)
 
     W = args.walkers
-    frames_per_walker = -(-args.frames // W)
     keys = jax.random.split(jax.random.PRNGKey(args.seed), W)
     coords0 = jnp.tile(jnp.asarray(topo.positions)[None], (W, 1, 1))
     velocs0 = jax.vmap(
@@ -82,39 +81,63 @@ def main(argv=None):
     coords, velocs = burn(
         coords0, velocs0, jax.random.split(jax.random.PRNGKey(args.seed + 1), W)
     )
-    traj = jax.jit(
-        jax.vmap(
-            lambda c, v, k: sample_trajectory(
-                system, c, v, k, frames_per_walker, args.spacing, cfg
+
+    if args.log_spacing:
+        n_off = len(log_spaced_offsets(args.spacing, args.space_factor))
+        num_blocks = -(-args.frames // n_off)
+        traj = jax.jit(
+            jax.vmap(
+                lambda c, v, k: sample_trajectory_log(
+                    system, c, v, k, num_blocks, args.spacing, args.space_factor, cfg
+                )[:2]
             )
         )
-    )
+        steps = (
+            np.arange(num_blocks, dtype=np.int64)[:, None] * args.spacing
+            + np.asarray(log_spaced_offsets(args.spacing, args.space_factor),
+                         dtype=np.int64)[None, :]
+        ).reshape(-1)
+        frames_per_walker = num_blocks * n_off
+        steps_per_walker = num_blocks * args.spacing
+    else:
+        frames_per_walker = args.frames
+        traj = jax.jit(
+            jax.vmap(
+                lambda c, v, k: sample_trajectory(
+                    system, c, v, k, frames_per_walker, args.spacing, cfg
+                )
+            )
+        )
+        steps = (np.arange(frames_per_walker, dtype=np.int64) + 1) * args.spacing
+        steps_per_walker = frames_per_walker * args.spacing
+
     tc, tv = traj(coords, velocs, jax.random.split(jax.random.PRNGKey(args.seed + 2), W))
-    tc = np.asarray(tc).reshape(-1, topo.num_atoms, 3)[: args.frames]
-    tv = np.asarray(tv).reshape(-1, topo.num_atoms, 3)[: args.frames]
+    tc = np.asarray(tc)  # [W, T, V, 3]
+    tv = np.asarray(tv)
     assert np.isfinite(tc).all(), "trajectory diverged"
-    total = W * (args.burn_in + frames_per_walker * args.spacing)
+    total = W * (args.burn_in + steps_per_walker)
     print(f"{total} MD steps in {time.time()-t0:.1f}s ({total/(time.time()-t0):.0f} steps/s)")
 
-    # Energies/forces for the recorded frames.
-    e_pot = np.asarray(batched_potential_energy(system, jnp.asarray(tc)))
+    # Energies/forces for the recorded frames, then one NPZ per walker so the
+    # step-index pairing in load_trajectory_pairs never crosses walkers.
     masses = np.asarray(system.masses)
-    e_kin = 0.5 * (masses[None, :, None] * tv**2).sum((1, 2))
     grad = jax.jit(jax.vmap(jax.grad(lambda c: potential_energy(system, c))))
-    forces = -np.asarray(grad(jnp.asarray(tc)))
-
-    steps = (np.arange(len(tc)) + 1) * args.spacing
-    np.savez_compressed(
-        f"{args.output_prefix}-traj-arrays.npz",
-        step=steps,
-        time=steps * DEFAULT_TIMESTEP,
-        positions=tc.astype(np.float32),
-        velocities=tv.astype(np.float32),
-        forces=forces.astype(np.float32),
-        energies=np.stack([e_pot, e_kin], axis=1),
-    )
-    shutil.copy(args.input_pdb, f"{args.output_prefix}-traj-state0.pdb")
-    print(f"wrote {args.output_prefix}-traj-arrays.npz ({len(tc)} frames)")
+    for w in range(W):
+        e_pot = np.asarray(batched_potential_energy(system, jnp.asarray(tc[w])))
+        e_kin = 0.5 * (masses[None, :, None] * tv[w] ** 2).sum((1, 2))
+        forces = -np.asarray(grad(jnp.asarray(tc[w])))
+        prefix = args.output_prefix if W == 1 else f"{args.output_prefix}-w{w}"
+        np.savez_compressed(
+            f"{prefix}-traj-arrays.npz",
+            step=steps,
+            time=steps * DEFAULT_TIMESTEP,
+            positions=tc[w].astype(np.float32),
+            velocities=tv[w].astype(np.float32),
+            forces=forces.astype(np.float32),
+            energies=np.stack([e_pot, e_kin], axis=1),
+        )
+        shutil.copy(args.input_pdb, f"{prefix}-traj-state0.pdb")
+        print(f"wrote {prefix}-traj-arrays.npz ({tc[w].shape[0]} frames)")
 
 
 if __name__ == "__main__":

@@ -12,6 +12,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from timewarp_tpu.physics.constants import (
     DEFAULT_FRICTION,
@@ -109,6 +110,74 @@ def sample_trajectory(
     keys = jax.random.split(key, num_frames)
     _, (traj_coords, traj_velocs) = jax.lax.scan(frame, (coords, velocs), keys)
     return traj_coords, traj_velocs
+
+
+def log_spaced_offsets(report_interval: int, factor: int = 10) -> Tuple[int, ...]:
+    """In-block record offsets of the reference's logarithmic spacing:
+    {1, f, f^2, ...} capped at report_interval (reference:
+    simulation/npzreporter.py:44-87 LogarithmicSpacing.stepsUntilNextReport).
+    The last offset equals report_interval, i.e. the next block's start."""
+    if factor <= 1:
+        raise ValueError("factor must be larger than one")
+    offsets = []
+    o = 1
+    while o < report_interval:
+        offsets.append(o)
+        o *= factor
+    offsets.append(report_interval)
+    return tuple(offsets)
+
+
+def sample_trajectory_log(
+    system: AmberSystem,
+    coords: jnp.ndarray,
+    velocs: jnp.ndarray,
+    key: jax.Array,
+    num_blocks: int,
+    report_interval: int,
+    factor: int = 10,
+    config: Optional[LangevinConfig] = None,
+):
+    """Sample frames at steps b*RI + o, o in log_spaced_offsets(RI, factor).
+
+    The TPU-friendly realization of the reference's LogarithmicSpacing
+    reporter (simulation/npzreporter.py:44-87): the per-block offset pattern
+    is static, so each block is an unrolled sequence of fixed-length
+    lax.scan segments inside one outer scan over blocks. Returns
+    (coords [B*n_off, V, 3], velocs [B*n_off, V, 3], steps [B*n_off]).
+    """
+    config = config or LangevinConfig()
+    step = langevin_step_fn(system, config)
+    offsets = log_spaced_offsets(report_interval, factor)
+    seg_lengths = [offsets[0]] + [b - a for a, b in zip(offsets, offsets[1:])]
+
+    def run_n(carry, key, n):
+        def body(c, k):
+            cc, vv = c
+            return step(cc, vv, k), None
+
+        carry, _ = jax.lax.scan(body, carry, jax.random.split(key, n))
+        return carry
+
+    def block(carry, key):
+        keys = jax.random.split(key, len(seg_lengths))
+        frames = []
+        for i, n in enumerate(seg_lengths):
+            carry = run_n(carry, keys[i], n)
+            frames.append(carry)
+        return carry, (
+            jnp.stack([f[0] for f in frames]),
+            jnp.stack([f[1] for f in frames]),
+        )
+
+    keys = jax.random.split(key, num_blocks)
+    _, (tc, tv) = jax.lax.scan(block, (coords, velocs), keys)
+    steps = (
+        np.arange(num_blocks, dtype=np.int64)[:, None] * report_interval
+        + np.asarray(offsets, dtype=np.int64)[None, :]
+    ).reshape(-1)
+    V = coords.shape[-2]
+    return tc.reshape(-1, V, 3), tv.reshape(-1, V, 3), steps
 
 
 def maxwell_boltzmann_velocities(
