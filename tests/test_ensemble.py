@@ -91,6 +91,31 @@ def test_ensemble_matches_boltzmann():
     assert abs(samples.std() - 1.0) < 0.1, samples.std()
 
 
+def test_adaptive_parallelism_shrinks_K():
+    """With a perfect proposal (acceptance ~1) the adaptive driver must
+    rebucket K down to 1 after the first segment (reference K formula:
+    utils/evaluation_utils.py:32-64)."""
+    from timewarp_tpu.data.pdb import parse_pdb
+
+    topo = parse_pdb("/root/reference/simulation/testdata/alanine-dipeptide.pdb")
+    V = topo.num_atoms
+    energy_fn, propose_fn, reverse_logp_fn, masses = _gaussian_setup(V, sigma=1.0)
+    W = 4
+    res = sample_ensemble(
+        None, propose_fn, reverse_logp_fn, energy_fn, masses, 1.0,
+        jnp.zeros((W, V, 3)), jax.random.PRNGKey(0), topo,
+        num_proposals=W * 128 * 8 + 1, config=MHConfig(num_proposal_steps=16),
+        bins=6, segment_iters=8, adaptive_parallelism=True,
+    )
+    assert len(res.K_trace) >= 2
+    # Pessimistic start (acc_prob ~1e-3) -> max bucket; perfect acceptance
+    # then walks K down segment by segment (EMA-smoothed, so not a jump).
+    assert res.K_trace[0] == 128
+    assert res.K_trace[-1] <= 8
+    assert all(b <= a for a, b in zip(res.K_trace, res.K_trace[1:]))
+    assert res.acceptance_rate > 0.9
+
+
 def test_paired_indices_alanine():
     from timewarp_tpu.data.pdb import parse_pdb
 

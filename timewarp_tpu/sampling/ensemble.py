@@ -30,8 +30,11 @@ from flax import struct
 from timewarp_tpu.data.pdb import Topology
 from timewarp_tpu.sampling.mh import (
     CHIRALITY_PENALTY,
+    K_BUCKETS,
     MHConfig,
     MHState,
+    _bucket,
+    compute_num_proposal_steps,
     kinetic_energy,
 )
 from timewarp_tpu.utils.chirality import check_symmetry_change
@@ -219,6 +222,7 @@ class EnsembleResults:
     num_states: int
     final_coords: np.ndarray  # [W, V, 3]
     snapshots: np.ndarray  # [S, W, V, 3] one per segment
+    K_trace: Tuple[int, ...] = ()  # K used per segment (adaptive parallelism)
 
 
 def sample_ensemble(
@@ -239,15 +243,30 @@ def sample_ensemble(
     reference_signs=None,
     md_step_fn=None,
     log_every: int = 0,
+    adaptive_parallelism: bool = False,
 ) -> EnsembleResults:
     """Run W parallel MH chains for ~num_proposals total flow proposals.
 
     Only O(bins^2) statistics and one [W, V, 3] snapshot per segment cross
     the device boundary.
+
+    With ``adaptive_parallelism`` the per-walker proposal count K is
+    rebucketed between segments from the smoothed chain acceptance rate
+    (reference: utils/evaluation_utils.py:32-64,684-697). At acceptance ~2%
+    a fixed K=32 wastes ~45% of proposals past each iteration's first
+    acceptance; adapting K recovers that as extra chain states per proposal.
     """
     initial_coords = jnp.asarray(initial_coords)
     W, V = initial_coords.shape[0], initial_coords.shape[1]
     K = config.num_proposal_steps
+    max_K = min(config.max_num_proposal_steps, max(K_BUCKETS))
+    if adaptive_parallelism:
+        K = _bucket(
+            compute_num_proposal_steps(
+                1e-3, config.target_acceptance_per_step, max_K
+            ),
+            max_K,
+        )
     masses = jnp.asarray(masses)
     kT_dev = jnp.asarray(kT, jnp.float32)
     phi_quads, psi_quads = paired_phi_psi_indices(topology)
@@ -265,9 +284,13 @@ def sample_ensemble(
         num_states=jnp.int32(0),
     )
 
-    num_segments = max(1, -(-num_proposals // (W * K * segment_iters)))
     snapshots: List[np.ndarray] = []
-    for s in range(num_segments):
+    K_trace: List[int] = []
+    proposals_done = 0
+    acc_prob = 1e-3
+    prev_acc, prev_states = 0, 0
+    s = 0
+    while proposals_done < num_proposals:
         rng, seg_rng = jax.random.split(rng)
         carry = ensemble_segment(
             params,
@@ -288,28 +311,47 @@ def sample_ensemble(
             reference_signs=reference_signs,
             md_step_fn=md_step_fn,
         )
+        K_trace.append(K)
+        proposals_done += W * K * segment_iters
+        s += 1
         snapshots.append(np.asarray(carry.state.coords))
-        if log_every and (s + 1) % log_every == 0:
-            done = (s + 1) * W * K * segment_iters
-            acc = int(carry.num_accepted) / max(int(carry.num_states), 1)
+        acc_total, states_total = int(carry.num_accepted), int(carry.num_states)
+        if adaptive_parallelism:
+            # Segment-granular EMA of the chain acceptance rate (accepted /
+            # attempted-until-first-accept), then the reference's K formula.
+            d_states = max(states_total - prev_states, 1)
+            seg_acc = (acc_total - prev_acc) / d_states
+            prev_acc, prev_states = acc_total, states_total
+            # Equivalent smoothing mass to the reference's per-proposal
+            # s=0.01 EMA applied d_states times.
+            w = 1.0 - (1.0 - config.acceptance_rate_smoothing) ** d_states
+            acc_prob = w * seg_acc + (1.0 - w) * acc_prob
+            K = _bucket(
+                compute_num_proposal_steps(
+                    acc_prob, config.target_acceptance_per_step, max_K
+                ),
+                max_K,
+            )
+        if log_every and s % log_every == 0:
+            acc = acc_total / max(states_total, 1)
             print(
-                f"[ensemble] segment {s+1}/{num_segments}: {done} proposals, "
-                f"acceptance {acc:.4f}",
+                f"[ensemble] segment {s}: {proposals_done} proposals, "
+                f"acceptance {acc:.4f}, K={K}",
                 flush=True,
             )
 
-    num_iters_total = num_segments * segment_iters * W
     return EnsembleResults(
         hist=np.asarray(carry.hist).reshape(bins, bins),
         # accepted / attempted-until-first-accept: matches
         # ChainStats.acceptance_rate (chain_stats.py:56-57), which flattens
         # the first_idx+1 attempts each iteration actually consumed.
         acceptance_rate=int(carry.num_accepted) / max(int(carry.num_states), 1),
-        num_proposals=num_iters_total * K,
+        num_proposals=proposals_done,
         num_accepted=int(carry.num_accepted),
         num_states=int(carry.num_states),
         final_coords=np.asarray(carry.state.coords),
         snapshots=np.stack(snapshots),
+        K_trace=tuple(K_trace),
     )
 
 

@@ -17,6 +17,12 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+if "--f32" in sys.argv:
+    # TPU matmuls default to bf16; the flow predicts ~5e-3 nm displacements
+    # on ~1 nm coordinates, so full f32 accumulation is a candidate lever for
+    # the NLL/proposal-quality gap (VERDICT round 2, items 2-3).
+    jax.config.update("jax_default_matmul_precision", "float32")
 import jax.numpy as jnp
 import numpy as np
 
@@ -115,6 +121,8 @@ def main():
                     help="cosine-decay the LR to lr/100 over each phase")
     ap.add_argument("--data-seed", type=int, default=0,
                     help="PRNG seed family for MD data generation")
+    ap.add_argument("--f32", action="store_true",
+                    help="force float32 matmul precision (TPU default is bf16)")
     args = ap.parse_args()
     if args.quick:
         args.frames, args.train_steps, args.mh_samples = 200, 50, 100
