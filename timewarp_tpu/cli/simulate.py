@@ -39,7 +39,13 @@ def main(argv=None):
                     help="record at logarithmic offsets within each spacing block")
     ap.add_argument("--space-factor", type=int, default=10,
                     help="logarithmic spacing factor (with --log-spacing)")
-    ap.add_argument("--temperature", type=float, default=310.0)
+    ap.add_argument("--temperature", type=float, default=None,
+                    help="override the preset temperature (K)")
+    ap.add_argument("--preset", default="amber99-implicit-old",
+                    help="force-field/integrator preset or dataset name "
+                         "(reference: simulation/md.py:15-187): "
+                         "amber99-implicit-old | amber99-implicit | "
+                         "amber14-implicit | T1B-peptides | ...")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -59,19 +65,26 @@ def main(argv=None):
         sample_trajectory_log,
     )
 
+    from timewarp_tpu.physics.presets import build_system_from_preset, langevin_config
+
     topo = parse_pdb(args.input_pdb)
-    system, report = build_system(topo)
+    system, report = build_system_from_preset(topo, args.preset)
     print(
         f"{topo.num_atoms} atoms, total charge {report.total_charge:+.3f}"
         + (f", fallback terminals: {report.fallback_terminals}" if report.fallback_terminals else "")
     )
-    cfg = LangevinConfig(temperature=args.temperature)
+    cfg = langevin_config(args.preset)
+    if args.temperature is not None:
+        cfg = LangevinConfig(
+            temperature=args.temperature, friction=cfg.friction,
+            timestep=cfg.timestep, scheme=cfg.scheme,
+        )
 
     W = args.walkers
     keys = jax.random.split(jax.random.PRNGKey(args.seed), W)
     coords0 = jnp.tile(jnp.asarray(topo.positions)[None], (W, 1, 1))
     velocs0 = jax.vmap(
-        lambda k: maxwell_boltzmann_velocities(system, k, args.temperature)
+        lambda k: maxwell_boltzmann_velocities(system, k, cfg.temperature)
     )(keys)
 
     t0 = time.time()

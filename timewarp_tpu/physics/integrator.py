@@ -29,15 +29,21 @@ class LangevinConfig:
     temperature: float = DEFAULT_TEMPERATURE  # K
     friction: float = DEFAULT_FRICTION  # 1/ps
     timestep: float = DEFAULT_TIMESTEP  # ps
+    # "middle" = BAOAB (LangevinMiddleIntegrator); "legacy" = OpenMM's
+    # original LangevinIntegrator discretization, used for the reference's
+    # pre-12/2021 datasets (reference: simulation/md.py:76-95,113-125).
+    scheme: str = "middle"
 
 
 def langevin_step_fn(
     system: AmberSystem, config: LangevinConfig
 ) -> Callable:
-    """One BAOAB step: (coords, velocs, key) -> (coords, velocs).
+    """One Langevin step: (coords, velocs, key) -> (coords, velocs).
 
-    B: v += dt f/m ; A: x += dt/2 v ; O: Ornstein-Uhlenbeck noise ;
-    A: x += dt/2 v. (The "middle" scheme.)
+    middle/BAOAB: B: v += dt f/m ; A: x += dt/2 v ; O: Ornstein-Uhlenbeck
+    noise ; A: x += dt/2 v.
+    legacy: v' = a v + (1-a) f/(gamma m) + sigma sqrt(1-a^2) R ;
+    x += dt v' (OpenMM LangevinIntegrator's velocity-Verlet-with-noise).
     """
     dt = config.timestep
     gamma = config.friction
@@ -49,14 +55,28 @@ def langevin_step_fn(
 
     grad_fn = jax.grad(lambda c: potential_energy(system, c))
 
-    def step(coords, velocs, key):
-        f = -grad_fn(coords)
-        velocs = velocs + dt * f / m
-        coords = coords + 0.5 * dt * velocs
-        noise = jax.random.normal(key, velocs.shape, velocs.dtype)
-        velocs = a * velocs + b * sigma * noise
-        coords = coords + 0.5 * dt * velocs
-        return coords, velocs
+    if config.scheme == "middle":
+
+        def step(coords, velocs, key):
+            f = -grad_fn(coords)
+            velocs = velocs + dt * f / m
+            coords = coords + 0.5 * dt * velocs
+            noise = jax.random.normal(key, velocs.shape, velocs.dtype)
+            velocs = a * velocs + b * sigma * noise
+            coords = coords + 0.5 * dt * velocs
+            return coords, velocs
+
+    elif config.scheme == "legacy":
+
+        def step(coords, velocs, key):
+            f = -grad_fn(coords)
+            noise = jax.random.normal(key, velocs.shape, velocs.dtype)
+            velocs = a * velocs + (1.0 - a) * f / (gamma * m) + b * sigma * noise
+            coords = coords + dt * velocs
+            return coords, velocs
+
+    else:
+        raise ValueError(f"unknown Langevin scheme {config.scheme!r}")
 
     return step
 

@@ -123,6 +123,8 @@ def main():
                     help="PRNG seed family for MD data generation")
     ap.add_argument("--f32", action="store_true",
                     help="force float32 matmul precision (TPU default is bf16)")
+    ap.add_argument("--burn-in", type=int, default=20000,
+                    help="Langevin burn-in steps per walker before sampling")
     args = ap.parse_args()
     if args.quick:
         args.frames, args.train_steps, args.mh_samples = 200, 50, 100
@@ -155,7 +157,7 @@ def main():
     velocs0 = jax.vmap(lambda k: maxwell_boltzmann_velocities(system, k))(keys)
 
     burn = jax.jit(
-        jax.vmap(lambda c, v, k: run_segment(system, c, v, k, num_steps=20000))
+        jax.vmap(lambda c, v, k: run_segment(system, c, v, k, num_steps=args.burn_in))
     )
     coords, velocs = burn(coords0, velocs0, jax.random.split(jax.random.PRNGKey(args.data_seed + 1), W))
     traj = jax.jit(
@@ -170,7 +172,7 @@ def main():
     traj_coords = np.asarray(traj_coords)
     traj_velocs = np.asarray(traj_velocs)
     assert np.isfinite(traj_coords).all()
-    total_steps = W * (20000 + frames_per_walker * 1000)
+    total_steps = W * (args.burn_in + frames_per_walker * 1000)
     print(
         f"MD: {W} walkers x {frames_per_walker} frames x 1000 steps in "
         f"{time.time()-t0:.1f}s ({total_steps/(time.time()-t0):.0f} steps/s)",
