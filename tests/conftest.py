@@ -41,6 +41,10 @@ def pytest_collection_modifyitems(items):
         fname = os.path.basename(str(item.fspath))
         if fname in SLOW_FILES:
             item.add_marker(pytest.mark.slow)
+        elif item.get_closest_marker("slow") is not None:
+            # Explicitly slow-marked items in fast files (e.g. the full
+            # model-family invariance sweeps) stay out of the fast lane.
+            pass
         else:
             item.add_marker(pytest.mark.fast)
 

@@ -104,13 +104,14 @@ def test_adaptive_parallelism_shrinks_K():
     res = sample_ensemble(
         None, propose_fn, reverse_logp_fn, energy_fn, masses, 1.0,
         jnp.zeros((W, V, 3)), jax.random.PRNGKey(0), topo,
-        num_proposals=W * 128 * 8 + 1, config=MHConfig(num_proposal_steps=16),
+        num_proposals=W * 32 * 8 + 1,
+        config=MHConfig(num_proposal_steps=16, max_num_proposal_steps=32),
         bins=6, segment_iters=8, adaptive_parallelism=True,
     )
     assert len(res.K_trace) >= 2
     # Pessimistic start (acc_prob ~1e-3) -> max bucket; perfect acceptance
     # then walks K down segment by segment (EMA-smoothed, so not a jump).
-    assert res.K_trace[0] == 128
+    assert res.K_trace[0] == 32
     assert res.K_trace[-1] <= 8
     assert all(b <= a for a, b in zip(res.K_trace, res.K_trace[1:]))
     assert res.acceptance_rate > 0.9

@@ -62,13 +62,26 @@ def tiny_transformer_config(rff=False):
     )
 
 
+# The flagship kernel family runs in the fast iteration lane; the full
+# family sweep is the same guardrail at ~5x the wall time, so it rides the
+# slow lane (VERDICT round 2 weak #6: a 13-minute "fast" lane stops being
+# used).
+FAST_FAMILIES = {"kernel"}
 ALL_CONFIGS = [
-    ("transformer_nvp", tiny_transformer_config()),
-    ("transformer_nvp_rff", tiny_transformer_config(rff=True)),
-    ("kernel", tiny_custom_config("kernel")),
-    ("learnable_kernel", tiny_custom_config("learnable_kernel")),
-    ("chebyshev_kernel", tiny_custom_config("chebyshev_kernel")),
-    ("local", tiny_custom_config("local")),
+    pytest.param(
+        name,
+        cfg,
+        id=name,
+        marks=() if name in FAST_FAMILIES else (pytest.mark.slow,),
+    )
+    for name, cfg in [
+        ("transformer_nvp", tiny_transformer_config()),
+        ("transformer_nvp_rff", tiny_transformer_config(rff=True)),
+        ("kernel", tiny_custom_config("kernel")),
+        ("learnable_kernel", tiny_custom_config("learnable_kernel")),
+        ("chebyshev_kernel", tiny_custom_config("chebyshev_kernel")),
+        ("local", tiny_custom_config("local")),
+    ]
 ]
 
 
@@ -89,7 +102,7 @@ def nprng():
     return np.random.default_rng(42)
 
 
-@pytest.mark.parametrize("name,cfg", ALL_CONFIGS, ids=[n for n, _ in ALL_CONFIGS])
+@pytest.mark.parametrize("name,cfg", ALL_CONFIGS)
 def test_sample_density_consistency(name, cfg, nprng):
     """logp reported by sampling equals log_likelihood of the sample --
     this is the exact-invertibility guarantee of RealNVP."""
@@ -115,7 +128,7 @@ def test_sample_density_consistency(name, cfg, nprng):
         np.testing.assert_allclose(np.asarray(ll), np.asarray(logp[s]), atol=2e-3, rtol=1e-4)
 
 
-@pytest.mark.parametrize("name,cfg", ALL_CONFIGS, ids=[n for n, _ in ALL_CONFIGS])
+@pytest.mark.parametrize("name,cfg", ALL_CONFIGS)
 def test_batch_independence(name, cfg, nprng):
     """loss(batch) == mean(loss(singletons)) -- catches masking/padding bugs
     (the reference's signature test, tests/test_batching.py:142)."""
@@ -140,7 +153,7 @@ def test_batch_independence(name, cfg, nprng):
     np.testing.assert_allclose(float(full), np.mean(singles), atol=1e-4, rtol=1e-5)
 
 
-@pytest.mark.parametrize("name,cfg", ALL_CONFIGS, ids=[n for n, _ in ALL_CONFIGS])
+@pytest.mark.parametrize("name,cfg", ALL_CONFIGS)
 def test_translation_invariance(name, cfg, nprng):
     """p(Ty|Tx) == p(y|x) for a rigid translation T (COM centering +
     displacement targets; reference: tests/test_distributional_equivariance.py)."""

@@ -1,6 +1,7 @@
 """Langevin integrator sanity: stability and thermal equilibration on
 alanine dipeptide."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -17,6 +18,7 @@ from timewarp_tpu.physics.integrator import (
 AD_PDB = "/root/reference/simulation/testdata/alanine-dipeptide.pdb"
 
 
+@pytest.mark.slow
 def test_langevin_stable_and_thermalizes():
     topo = parse_pdb(AD_PDB)
     system, _ = build_system(topo)

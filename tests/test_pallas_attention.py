@@ -63,6 +63,7 @@ def test_fused_tiled_large_v(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_gradients_large_v(rng):
     """Fused Pallas backward (dd/dv/dls) vs autodiff through the XLA
     reference, across a tile boundary and with padding."""
@@ -80,6 +81,7 @@ def test_fused_gradients_large_v(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("normalise", [True, False])
 def test_fused_gradients_unnormalised(rng, normalise):
     dists, values, mask, ls = _case(rng, B=1, V=10, H=3, D=4, pad=2)

@@ -38,6 +38,7 @@ def test_build_and_parameterize(templates, seq, charge):
     assert (counts > 0).all()
 
 
+@pytest.mark.slow
 def test_built_peptide_minimizes_to_sane_energy(templates):
     topo = build_peptide("AG", templates)
     system, _ = build_system(topo)
@@ -73,6 +74,7 @@ def test_all_twenty_amino_acids_available(templates):
     assert set(templates) >= set(AA_CODES.values())
 
 
+@pytest.mark.slow
 def test_cys_his_met_parameterize_and_minimize(templates):
     """The residues supplied by the AF fixtures (CYS/HIS/MET) build,
     parameterize (HID tautomer dispatch), and minimize to finite energy."""

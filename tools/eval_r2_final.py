@@ -131,9 +131,13 @@ def main():
 
     # --- 2. ensemble ---
     W = args.ensemble_walkers
-    # Start walkers from strided data states (spread over basins, the
-    # reference explorer initializes walkers from dataset states too,
-    # exploration.py:124-180).
+    # Start walkers from strided data states -- NOTE this spreads the
+    # initial ensemble across basins, which is a deviation from the
+    # reference explorer protocol (it starts all parallel proposals from a
+    # SINGLE dataset state, exploration.py:209,225-232). A basin-spread
+    # init biases short-run Ramachandran KL optimistic; report the
+    # single-state init and/or an accept-nothing control alongside
+    # (ADVICE round 2, item 1).
     stride = max(md_flat.shape[0] // W, 1)
     init = jnp.asarray(md_flat[::stride][:W])
     t0 = time.time()
