@@ -43,7 +43,7 @@ class LossScheduleConfig:
 class LossConfig:
     """Mirrors reference loss_configs.py:65-69 with nested options."""
 
-    name: str = "nll"  # nll | acceptance | energy | nll_acceptance | ...
+    name: str = "nll"  # nll | acceptance | energy | bonded | nll_acceptance | ...
     random_velocs: bool = True
     # acceptance-loss options (reference: loss_configs.py NLLAndAcceptanceLossConfig)
     beta: float = 0.0
@@ -195,7 +195,7 @@ def make_loss(config: LossConfig, energy_model=None) -> Callable:
             l2, m2 = flipped_nll_loss(model, params, batch, k2, config.random_velocs)
             return 0.5 * (l1 + l2), {**m1, **m2}
         return fn
-    if config.name in ("acceptance", "energy", "nll_acceptance", "nll_energy"):
+    if config.name in ("acceptance", "energy", "bonded", "nll_acceptance", "nll_energy", "nll_bonded"):
         from timewarp_tpu.physics.losses import make_energy_loss
 
         return make_energy_loss(config, energy_model)

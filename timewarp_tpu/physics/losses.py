@@ -190,10 +190,53 @@ def make_energy_loss(config, energy_model) -> Callable:
             "logp_xy": logp_xy.mean(),
         }
 
+    def bonded_excess_loss(model, params, batch, rng, step=0, energy_system=None):
+        """Mean relu(excess bond+angle energy of one proposal sample over
+        the current state), kT per atom.
+
+        Targets the proposal-heat failure mode directly (round-2 diagnosis:
+        flow samples sit slightly off the bond/angle manifold and the MH
+        exponent punishes that by tens of kT). Unlike the full energy loss
+        it has no pull toward low-energy minima: proposals matching the
+        data's thermal bonded energy pay zero. Analytically differentiable
+        here -- the reference's OpenMM bridge could not expose per-term
+        gradients to training (reference: losses.py:559-664 uses only total
+        energies)."""
+        assert not mixed, "bonded excess loss: single-system batches only"
+        from timewarp_tpu.physics.energy import angle_energy, bond_energy
+
+        system = energy_model.system
+        V_sys = system.num_atoms
+        kT = energy_model.kT
+
+        def bonded(c):  # [B, V, 3] -> [B] in kT
+            return jax.vmap(
+                lambda x: bond_energy(system, x) + angle_energy(system, x)
+            )(c[:, :V_sys]) / kT
+
+        if random_velocs:
+            k_v, rng = jax.random.split(rng)
+            x_velocs = jax.random.normal(k_v, batch.atom_velocs.shape)
+        else:
+            x_velocs = batch.atom_velocs
+        yc, _, _ = model.apply(
+            params, rng, batch.atom_types, batch.atom_coords, x_velocs,
+            batch.masked_elements, 1, method="conditional_sample_with_logp",
+        )
+        excess = jax.nn.relu(bonded(yc[0]) - bonded(batch.atom_coords))
+        num_atoms = (~batch.masked_elements).sum(axis=1)
+        loss = (excess / num_atoms).mean()
+        return loss, {
+            "bonded_excess_loss": loss,
+            "bonded_excess_kT": excess.mean(),
+        }
+
     if name == "acceptance":
         return acceptance_loss
     if name == "energy":
         return energy_loss
+    if name == "bonded":
+        return bonded_excess_loss
 
     # Convex combinations with NLL (reference: ConvexCombinationLoss,
     # losses.py:731-788; NLLAndAcceptanceLossConfig loss_configs.py). Fixed
@@ -201,7 +244,11 @@ def make_energy_loss(config, energy_model) -> Callable:
     # schedule as a pure function of the step counter.
     from timewarp_tpu.losses import convex_combination, nll_loss
 
-    other = acceptance_loss if name == "nll_acceptance" else energy_loss
+    other = {
+        "nll_acceptance": acceptance_loss,
+        "nll_energy": energy_loss,
+        "nll_bonded": bonded_excess_loss,
+    }[name]
 
     def nll_fn(model, params, batch, rng, step=0, energy_system=None):
         return nll_loss(model, params, batch, rng, random_velocs)

@@ -107,7 +107,7 @@ def main():
                     help="acceptance-loss fine-tuning steps after NLL training")
     ap.add_argument("--finetune-weight", type=float, default=0.1)
     ap.add_argument("--finetune-loss", default="nll_acceptance",
-                    choices=["nll_acceptance", "nll_energy"])
+                    choices=["nll_acceptance", "nll_energy", "nll_bonded"])
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--mh-samples", type=int, default=4000)
