@@ -73,15 +73,24 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     save_config(config, os.path.join(out_dir, "config.yaml"))
 
-    # Data.
-    raw = get_raw_dataset(
-        config.dataset, data_dir=config.data_dir, step_width=config.step_width
+    # Data. Separate train/val splits when the dataset directory has
+    # train/ + val/ (or test/) subdirs; flat fixture dirs serve both
+    # (reference: utils/dataset_utils.py:103-140 per-split file lists).
+    raw_train = get_raw_dataset(
+        config.dataset, data_dir=config.data_dir, step_width=config.step_width,
+        split="train",
     )
+    raw_valid = get_raw_dataset(
+        config.dataset, data_dir=config.data_dir, step_width=config.step_width,
+        split="val",
+    )
+    if raw_train.data_dir == raw_valid.data_dir:
+        print("note: no train/val split subdirs; validating on training data")
     # Per-host molecule shard (strided by protein, reference:
     # datasets/pdb_sampler.py:126); single-process runs see everything.
     shard = dict(num_replicas=jax.process_count(), rank=jax.process_index())
-    train_ds = TrajectoryIterableDataset(raw, shuffle=True, seed=config.seed, **shard)
-    valid_ds = TrajectoryIterableDataset(raw, shuffle=False, seed=config.seed, **shard)
+    train_ds = TrajectoryIterableDataset(raw_train, shuffle=True, seed=config.seed, **shard)
+    valid_ds = TrajectoryIterableDataset(raw_valid, shuffle=False, seed=config.seed, **shard)
 
     # Model/optimizer.
     model = build_model(config.model_config)

@@ -50,6 +50,29 @@ REGISTRY: Dict[str, DatasetSpec] = {
         simulate_pdb=os.path.join(SIM_TESTDATA, "alanine-dipeptide.pdb"),
         description="alanine dipeptide, 10k pairs @ step_width 1000",
     ),
+    # AD-1-JAX: the locally generated AD-1 equivalent with a real held-out
+    # split (train/ + val/ walker trajectories). Generate with
+    # tools/e2e_alanine.py --save-data + tools/make_ad1_dataset.py.
+    "AD-1-JAX": DatasetSpec(
+        name="AD-1-JAX",
+        step_width=1000,
+        raw_dir="runs/data_ad1",
+        description="alanine dipeptide walkers, 10k train pairs @ step_width "
+                    "1000 + held-out val walkers (self-generated)",
+    ),
+    # 2AA-JAX: the self-generated analogue of the reference's 2AA-1
+    # transferable-dipeptide regime (reference: utils/dataset_utils.py:
+    # 199-206 -- ~1,500 trajectory files of random dipeptides). Generated
+    # locally by tools/e2e_2aa.py (template peptide builder + FIRE
+    # minimization + vmapped Langevin walkers); one state0.pdb +
+    # arrays.npz per dipeptide, in-walker pairs only.
+    "2AA-JAX": DatasetSpec(
+        name="2AA-JAX",
+        step_width=1000,
+        raw_dir="runs/data_2aa",
+        description="random capped dipeptides, built + simulated on device "
+                    "(generate via: python tools/e2e_2aa.py --gen-only)",
+    ),
 }
 
 
@@ -62,20 +85,44 @@ def get_dataset_spec(name: str) -> DatasetSpec:
     return REGISTRY[name]
 
 
+def _split_dir(base: str, split: Optional[str]) -> str:
+    """Resolve a split subdirectory (train/val/test) when present.
+
+    Reference datasets ship separate train/val/test file lists
+    (utils/dataset_utils.py:103-140); locally that is a ``{raw_dir}/train``
+    + ``{raw_dir}/val`` layout. Flat directories serve every split (legacy
+    fixtures like the reference testdata)."""
+    if split is None:
+        return base
+    cand = os.path.join(base, split)
+    if os.path.isdir(cand):
+        return cand
+    # "val" falls back to "test" (the reference's AD-1 has train+test only,
+    # and train.py validates on the test trajectory in that case).
+    if split == "val":
+        cand = os.path.join(base, "test")
+        if os.path.isdir(cand):
+            return cand
+    return base
+
+
 def get_raw_dataset(
-    name: str, data_dir: Optional[str] = None, step_width: Optional[int] = None
+    name: str,
+    data_dir: Optional[str] = None,
+    step_width: Optional[int] = None,
+    split: Optional[str] = None,
 ) -> RawMolDynDataset:
     """Resolve a named dataset (or explicit directory) to a raw dataset."""
     if data_dir is not None:
         assert step_width is not None, "explicit data_dir needs step_width"
-        return RawMolDynDataset(data_dir, step_width=step_width)
+        return RawMolDynDataset(_split_dir(data_dir, split), step_width=step_width)
     spec = get_dataset_spec(name)
     if spec.raw_dir is None:
         raise FileNotFoundError(
             f"dataset {name!r} has no local raw data; generate it first "
             "(cli/simulate.py) or pass data_dir."
         )
-    ds = RawMolDynDataset(spec.raw_dir, step_width=spec.step_width)
+    ds = RawMolDynDataset(_split_dir(spec.raw_dir, split), step_width=spec.step_width)
     if spec.expected_files is not None and len(ds.pdb_names) != spec.expected_files:
         raise RuntimeError(
             f"dataset {name!r}: expected {spec.expected_files} trajectories, "

@@ -44,21 +44,54 @@ from timewarp_tpu.utils.torsions import compute_torsions, phi_psi_indices
 
 def paired_phi_psi_indices(topology: Topology) -> Tuple[np.ndarray, np.ndarray]:
     """(phi_quads [P, 4], psi_quads [P, 4]) aligned so pair p is one
-    residue's (phi, psi) -- the points of a Ramachandran plot."""
-    phis, psis = [], []
-    res = topology.residues
-    for i in range(len(res)):
+    residue's (phi, psi) -- the points of a Ramachandran plot.
+
+    Uncapped dipeptides (the reference's tleap-built 2AA peptides,
+    create_random_peptides.py) have NO residue with both torsions: phi
+    exists only on residue 2, psi only on residue 1. In that case the
+    (phi_{i+1}, psi_i) cross-residue pair is returned -- the same pair the
+    reference's mdtraj-based analysis plots for 2AA (compute_phi/psi
+    return whatever dihedrals exist, utils/torsion_utils.py:22-162)."""
+
+    def torsion_atoms(i):
+        res = topology.residues
         n = topology.atom_index(res[i], "N")
         ca = topology.atom_index(res[i], "CA")
         c = topology.atom_index(res[i], "C")
-        if None in (n, ca, c) or i == 0 or i + 1 >= len(res):
-            continue
-        c_prev = topology.atom_index(res[i - 1], "C")
-        n_next = topology.atom_index(res[i + 1], "N")
-        if c_prev is None or n_next is None:
-            continue
-        phis.append((c_prev, n, ca, c))
-        psis.append((n, ca, c, n_next))
+        if None in (n, ca, c):
+            return None, None
+        phi = psi = None
+        if i > 0:
+            c_prev = topology.atom_index(res[i - 1], "C")
+            if c_prev is not None:
+                phi = (c_prev, n, ca, c)
+        if i + 1 < len(res):
+            n_next = topology.atom_index(res[i + 1], "N")
+            if n_next is not None:
+                psi = (n, ca, c, n_next)
+        return phi, psi
+
+    R = len(topology.residues)
+    phi_of = {}
+    psi_of = {}
+    for i in range(R):
+        phi, psi = torsion_atoms(i)
+        if phi is not None:
+            phi_of[i] = phi
+        if psi is not None:
+            psi_of[i] = psi
+
+    phis, psis = [], []
+    for i in range(R):
+        if i in phi_of and i in psi_of:
+            phis.append(phi_of[i])
+            psis.append(psi_of[i])
+    if not phis:
+        # Dipeptide fallback: (phi of residue i+1, psi of residue i).
+        for i in range(R - 1):
+            if i + 1 in phi_of and i in psi_of:
+                phis.append(phi_of[i + 1])
+                psis.append(psi_of[i])
     return (
         np.array(phis, dtype=np.int32).reshape(-1, 4),
         np.array(psis, dtype=np.int32).reshape(-1, 4),

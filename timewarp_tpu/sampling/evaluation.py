@@ -151,8 +151,24 @@ def kinetic_energy_ks(velocs: np.ndarray, masses: np.ndarray, kT: float) -> floa
     return float(stats.kstest(2 * ke, stats.chi2(3 * len(masses)).cdf).statistic)
 
 
-def energy_histogram_overlap(e_a: np.ndarray, e_b: np.ndarray, bins: int = 50) -> float:
-    """Histogram intersection of two potential-energy distributions in [0,1]."""
+def energy_histogram_overlap(
+    e_a: np.ndarray, e_b: np.ndarray, bins: int = 50, center: bool = True
+) -> float:
+    """Histogram intersection of two potential-energy distributions in [0,1].
+
+    ``center`` (default) subtracts each set's median first. The JAX AMBER
+    potential carries a convention-level CONSTANT offset vs OpenMM
+    (~236 kJ/mol on the 2olx golden fixture; torsion-k and GB/SA constant
+    conventions -- tests/test_physics.py:62-68). The offset cancels in every
+    MH energy *difference*, but an uncentered histogram intersection of our
+    energies against reference-computed energies would silently report ~0
+    overlap. Pass center=False only when both sets come from the same
+    potential."""
+    e_a = np.asarray(e_a, dtype=np.float64)
+    e_b = np.asarray(e_b, dtype=np.float64)
+    if center:
+        e_a = e_a - np.median(e_a)
+        e_b = e_b - np.median(e_b)
     lo = min(e_a.min(), e_b.min())
     hi = max(e_a.max(), e_b.max())
     ha, _ = np.histogram(e_a, bins=bins, range=(lo, hi), density=False)

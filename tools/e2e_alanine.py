@@ -156,21 +156,44 @@ def main():
     coords0 = jnp.tile(jnp.asarray(topo.positions)[None], (W, 1, 1))
     velocs0 = jax.vmap(lambda k: maxwell_boltzmann_velocities(system, k))(keys)
 
+    # Chunk every device program to <= ~500k sequential Langevin steps: one
+    # multi-million-step lax.scan program exceeds the axon tunnel's
+    # execution watchdog and crashes the TPU worker (observed twice at
+    # 2.5M steps/program).
     burn = jax.jit(
-        jax.vmap(lambda c, v, k: run_segment(system, c, v, k, num_steps=args.burn_in))
+        jax.vmap(lambda c, v, k: run_segment(system, c, v, k, num_steps=100_000))
     )
-    coords, velocs = burn(coords0, velocs0, jax.random.split(jax.random.PRNGKey(args.data_seed + 1), W))
+    coords, velocs = coords0, velocs0
+    for r in range(max(args.burn_in // 100_000, 1)):
+        coords, velocs = burn(
+            coords, velocs,
+            jax.random.split(jax.random.PRNGKey(args.data_seed + 1 + r), W),
+        )
+    frames_per_chunk = 500
     traj = jax.jit(
         jax.vmap(
             lambda c, v, k: sample_trajectory(
-                system, c, v, k, num_frames=frames_per_walker, steps_per_frame=1000
+                system, c, v, k, num_frames=frames_per_chunk, steps_per_frame=1000
             )
         )
     )
-    traj_coords, traj_velocs = traj(coords, velocs, jax.random.split(jax.random.PRNGKey(args.data_seed + 2), W))
+    tc_parts, tv_parts = [], []
+    done = 0
+    ci = 0
+    while done < frames_per_walker:
+        tc, tv = traj(
+            coords, velocs,
+            jax.random.split(jax.random.PRNGKey(args.data_seed + 1000 + ci), W),
+        )
+        coords, velocs = tc[:, -1], tv[:, -1]
+        take = min(frames_per_chunk, frames_per_walker - done)
+        tc_parts.append(np.asarray(tc[:, :take]))
+        tv_parts.append(np.asarray(tv[:, :take]))
+        done += take
+        ci += 1
     # [W, T, V, 3]; pairs are consecutive frames WITHIN a walker.
-    traj_coords = np.asarray(traj_coords)
-    traj_velocs = np.asarray(traj_velocs)
+    traj_coords = np.concatenate(tc_parts, axis=1)
+    traj_velocs = np.concatenate(tv_parts, axis=1)
     assert np.isfinite(traj_coords).all()
     total_steps = W * (args.burn_in + frames_per_walker * 1000)
     print(
