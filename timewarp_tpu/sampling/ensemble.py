@@ -198,7 +198,9 @@ def ensemble_segment(
         p_yx = reverse_logp_fn(params, y_coords, y_velocs, x_coords, x_velocs)
         exponent = (e_pot_y - e_pot_x) + (e_kin_y - e_kin_x) + p_xy - p_yx
         p_acc = jnp.minimum(1.0, jnp.exp(-exponent))
-        if config.accept:
+        if config.reject_all:
+            accepted = jnp.zeros((K,), bool)
+        elif config.accept:
             accepted = jax.random.uniform(k_acc, (K,)) < p_acc
         else:
             accepted = jnp.ones((K,), bool)

@@ -40,6 +40,11 @@ CHIRALITY_PENALTY = 2000.0  # kT (reference: utils/evaluation_utils.py:642)
 class MHConfig:
     num_proposal_steps: int = 16  # K
     accept: bool = True  # False -> accept everything (requires K=1)
+    # Control mode: propose but never accept. With interleaved MD this
+    # isolates how much of an ensemble's histogram comes from
+    # initialization + MD alone, with the flow contributing nothing
+    # (ADVICE round 2, item 1).
+    reject_all: bool = False
     random_velocs: bool = True
     resample_velocs: bool = True
     target_acceptance_per_step: float = 0.9
@@ -272,7 +277,9 @@ def mh_segment(
         exponent = e_pot_delta + e_kin_delta + p_xy - p_yx  # [K]
         p_acc = jnp.minimum(1.0, jnp.exp(-exponent))
 
-        if config.accept:
+        if config.reject_all:
+            accepted = jnp.zeros((K,), bool)
+        elif config.accept:
             u = jax.random.uniform(k_acc, (K,))
             accepted = u < p_acc
         else:
