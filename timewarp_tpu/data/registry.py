@@ -70,8 +70,18 @@ REGISTRY: Dict[str, DatasetSpec] = {
         name="2AA-JAX",
         step_width=1000,
         raw_dir="runs/data_2aa",
-        description="random capped dipeptides, built + simulated on device "
+        description="random uncapped dipeptides, built + simulated on device "
                     "(generate via: python tools/e2e_2aa.py --gen-only)",
+    ),
+    # 4AA-JAX: same recipe at tetrapeptide length (reference 4AA-*,
+    # utils/dataset_utils.py:199-206).
+    "4AA-JAX": DatasetSpec(
+        name="4AA-JAX",
+        step_width=1000,
+        raw_dir="runs/data_4aa",
+        description="random uncapped tetrapeptides (generate via: "
+                    "python tools/e2e_2aa.py --aa-length 4 "
+                    "--data-dir runs/data_4aa --gen-only)",
     ),
 }
 

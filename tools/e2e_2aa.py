@@ -156,6 +156,8 @@ def load_peptide(seq, data_dir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--train-peptides", type=int, default=50)
+    ap.add_argument("--aa-length", type=int, default=2,
+                    help="residues per peptide (2 = 2AA regime, 4 = 4AA)")
     ap.add_argument("--holdout-peptides", type=int, default=5)
     ap.add_argument("--walkers", type=int, default=8)
     ap.add_argument("--frames", type=int, default=251)
@@ -196,7 +198,7 @@ def main():
     rng = np.random.default_rng(args.seed)
     seqs = []
     while len(seqs) < args.train_peptides + args.holdout_peptides:
-        s = random_sequence(2, rng)
+        s = random_sequence(args.aa_length, rng)
         if s not in seqs:
             try:
                 build_peptide(s)
