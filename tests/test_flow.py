@@ -102,14 +102,27 @@ def nprng():
     return np.random.default_rng(42)
 
 
+_FLOW_CACHE = {}
+
+
+def cached_model(name, cfg, nprng):
+    """Share one (model, params, inputs) per family across the property
+    tests -- model.init dominates each test's wall time and is identical
+    for all three."""
+    if name not in _FLOW_CACHE:
+        model = build_model(cfg)
+        inputs = make_inputs(np.random.default_rng(42))
+        params = model.init(jax.random.PRNGKey(0), *inputs)
+        _FLOW_CACHE[name] = (model, params, inputs)
+    return _FLOW_CACHE[name]
+
+
 @pytest.mark.parametrize("name,cfg", ALL_CONFIGS)
 def test_sample_density_consistency(name, cfg, nprng):
     """logp reported by sampling equals log_likelihood of the sample --
     this is the exact-invertibility guarantee of RealNVP."""
-    model = build_model(cfg)
-    inputs = make_inputs(nprng)
+    model, params, inputs = cached_model(name, cfg, nprng)
     atom_types, x_coords, x_velocs, y_coords, y_velocs, mask = inputs
-    params = model.init(jax.random.PRNGKey(0), *inputs)
     yc, yv, logp = model.apply(
         params,
         jax.random.PRNGKey(1),
@@ -132,9 +145,7 @@ def test_sample_density_consistency(name, cfg, nprng):
 def test_batch_independence(name, cfg, nprng):
     """loss(batch) == mean(loss(singletons)) -- catches masking/padding bugs
     (the reference's signature test, tests/test_batching.py:142)."""
-    model = build_model(cfg)
-    inputs = make_inputs(nprng)
-    params = model.init(jax.random.PRNGKey(0), *inputs)
+    model, params, inputs = cached_model(name, cfg, nprng)
     atom_types, x_coords, x_velocs, y_coords, y_velocs, mask = inputs
 
     full = model.apply(params, *inputs)
@@ -157,10 +168,8 @@ def test_batch_independence(name, cfg, nprng):
 def test_translation_invariance(name, cfg, nprng):
     """p(Ty|Tx) == p(y|x) for a rigid translation T (COM centering +
     displacement targets; reference: tests/test_distributional_equivariance.py)."""
-    model = build_model(cfg)
-    inputs = make_inputs(nprng)
+    model, params, inputs = cached_model(name, cfg, nprng)
     atom_types, x_coords, x_velocs, y_coords, y_velocs, mask = inputs
-    params = model.init(jax.random.PRNGKey(0), *inputs)
 
     ll = model.apply(params, *inputs, method="log_likelihood")
     t = jnp.asarray(np.array([10.0, -3.0, 7.0], dtype=np.float32))
