@@ -32,11 +32,18 @@ from timewarp_tpu.training.train_step import TrainState, make_eval_step, make_tr
 
 
 def batches_from_dataset(dataset, config: TrainingConfig, mesh=None):
-    """Collate streaming datapoints into (optionally sharded) DenseBatches."""
+    """Collate streaming datapoints into (optionally sharded) DenseBatches.
+
+    Multi-process: each host collates batch_size/process_count datapoints
+    (its molecule shard) and shard_batch assembles the global batch --
+    global batch size stays config.batch_size regardless of world size
+    (the reference's train_micro_batch_size_per_gpu = batch/world,
+    train_deepspeed.py:99-120)."""
+    per_host = max(config.batch_size // jax.process_count(), 1)
     buf = []
     for dp in dataset:
         buf.append(dp)
-        if len(buf) == config.batch_size:
+        if len(buf) == per_host:
             batch = collate_dense(buf)
             yield shard_batch(mesh, batch) if mesh is not None else batch
             buf = []

@@ -32,6 +32,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Place a DenseBatch (or any pytree of [B, ...] arrays) with the batch
-    axis sharded over the mesh. B must divide the mesh size."""
+    axis sharded over the mesh. B must divide the mesh size.
+
+    Single process: ``batch`` is the global batch, device_put sharded.
+    Multi-process: ``batch`` is THIS HOST'S slice of the global batch (the
+    input pipeline shards molecules by process, cli/train.py); the global
+    array is assembled from the per-process locals -- the jitted step then
+    sees one global batch and XLA emits the cross-host gradient psum
+    (gloo on CPU, ICI/DCN on TPU). Reference equivalent: DeepSpeed's
+    train_micro_batch_size_per_gpu = batch/world (train_deepspeed.py:99-120).
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
