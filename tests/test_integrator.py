@@ -96,3 +96,37 @@ def test_simulate_walkers_write_separate_files(tmp_path):
         assert d["positions"].shape[0] == 4
         np.testing.assert_array_equal(d["step"], [10, 20, 30, 40])
     assert not os.path.exists(prefix + "-traj-arrays.npz")
+
+
+def test_com_motion_removed():
+    """With remove_com_motion (default, matching OpenMM's CMMotionRemover,
+    reference: md.py createSystem removeCMMotion default), the COM must stay
+    put over thousands of steps; with it off, the COM diffuses."""
+    from timewarp_tpu.physics.integrator import (
+        LangevinConfig,
+        langevin_step_fn,
+        maxwell_boltzmann_velocities,
+    )
+
+    topo = parse_pdb("/root/reference/simulation/testdata/alanine-dipeptide.pdb")
+    system, _ = build_system(topo)
+    m = jnp.asarray(system.masses)[:, None]
+
+    def com(c):
+        return np.asarray((m * c).sum(0) / m.sum())
+
+    def run(remove, n=4000):
+        step = langevin_step_fn(system, LangevinConfig(remove_com_motion=remove))
+
+        def body(carry, k):
+            return step(*carry, k), None
+
+        c0 = jnp.asarray(topo.positions)
+        v0 = maxwell_boltzmann_velocities(system, jax.random.PRNGKey(0))
+        (c, v), _ = jax.lax.scan(
+            body, (c0, v0), jax.random.split(jax.random.PRNGKey(1), n)
+        )
+        return np.linalg.norm(com(c) - com(c0))
+
+    assert run(True) < 2e-3
+    assert run(False) > 5e-3

@@ -33,6 +33,13 @@ class LangevinConfig:
     # original LangevinIntegrator discretization, used for the reference's
     # pre-12/2021 datasets (reference: simulation/md.py:76-95,113-125).
     scheme: str = "middle"
+    # OpenMM's ForceField.createSystem adds a CMMotionRemover by default
+    # (removeCMMotion=True), so every reference dataset has ZERO
+    # center-of-mass drift. Without this, the COM diffuses ~0.07 nm/dim
+    # per 500 fs step-width -- unpredictable correlated displacement that
+    # inflates the conditional entropy of every (x, y) training pair
+    # (round-3 diagnosis of the validation-NLL gap).
+    remove_com_motion: bool = True
 
 
 def langevin_step_fn(
@@ -55,6 +62,18 @@ def langevin_step_fn(
 
     grad_fn = jax.grad(lambda c: potential_energy(system, c))
 
+    if config.remove_com_motion:
+        # OpenMM CMMotionRemover semantics: subtract the mass-weighted mean
+        # velocity (applied every step, frequency=1).
+        def drop_com(velocs):
+            v_com = (m * velocs).sum(axis=0, keepdims=True) / m.sum()
+            return velocs - v_com
+
+    else:
+
+        def drop_com(velocs):
+            return velocs
+
     if config.scheme == "middle":
 
         def step(coords, velocs, key):
@@ -62,7 +81,7 @@ def langevin_step_fn(
             velocs = velocs + dt * f / m
             coords = coords + 0.5 * dt * velocs
             noise = jax.random.normal(key, velocs.shape, velocs.dtype)
-            velocs = a * velocs + b * sigma * noise
+            velocs = drop_com(a * velocs + b * sigma * noise)
             coords = coords + 0.5 * dt * velocs
             return coords, velocs
 
@@ -71,7 +90,9 @@ def langevin_step_fn(
         def step(coords, velocs, key):
             f = -grad_fn(coords)
             noise = jax.random.normal(key, velocs.shape, velocs.dtype)
-            velocs = a * velocs + (1.0 - a) * f / (gamma * m) + b * sigma * noise
+            velocs = drop_com(
+                a * velocs + (1.0 - a) * f / (gamma * m) + b * sigma * noise
+            )
             coords = coords + dt * velocs
             return coords, velocs
 
