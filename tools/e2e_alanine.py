@@ -125,6 +125,9 @@ def main():
                     help="force float32 matmul precision (TPU default is bf16)")
     ap.add_argument("--burn-in", type=int, default=20000,
                     help="Langevin burn-in steps per walker before sampling")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="if > 0, track an EMA of params (e.g. 0.999) and "
+                         "report/keep the EMA weights when they validate better")
     args = ap.parse_args()
     if args.quick:
         args.frames, args.train_steps, args.mh_samples = 200, 50, 100
@@ -294,10 +297,18 @@ def run_train_and_mh(args, topo, system, traj_coords, traj_velocs):
         state = TrainState.create(params, optimizer)
         loss_fn = make_loss(loss_cfg, energy_model=energy_model)
         step = make_train_step(model, loss_fn, optimizer, mesh=None, data_augmentation=True)
+        ema = params if args.ema > 0 else None
+        if ema is not None:
+            d = args.ema
+            ema_fn = jax.jit(
+                lambda e, p: jax.tree.map(lambda a, b: d * a + (1 - d) * b, e, p)
+            )
         t0 = time.time()
         last = float("nan")
         for i in range(steps):
             state, metrics = step(state, next(batches), jax.random.PRNGKey(10))
+            if ema is not None:
+                ema = ema_fn(ema, state.params)
             if i > 0 and i % 10000 == 0:
                 checkpoint(state.params, f"{tag}-step{i}")
             if i % 500 == 0 or i == steps - 1:
@@ -307,11 +318,18 @@ def run_train_and_mh(args, topo, system, traj_coords, traj_velocs):
                     extra = f" acc~{float(metrics['mh_acceptance_estimate']):.4f}"
                 if valid_nll_fn is not None and (i % 5000 == 0 or i == steps - 1):
                     extra += f" valid_nll {valid_nll_fn(state.params):8.3f}"
+                    if ema is not None:
+                        extra += f" ema_valid {valid_nll_fn(ema):8.3f}"
                 print(
                     f"[{tag}] step {i:6d} loss {last:9.3f}{extra} "
                     f"({(time.time()-t0)/(i+1)*1000:.0f} ms/step)",
                     flush=True,
                 )
+        if ema is not None and valid_nll_fn is not None:
+            v_raw, v_ema = valid_nll_fn(state.params), valid_nll_fn(ema)
+            print(f"[{tag}] final valid: raw {v_raw:.3f} ema {v_ema:.3f}", flush=True)
+            if v_ema < v_raw:
+                return ema, last
         return state.params, last
 
     def checkpoint(params, tag):
