@@ -126,7 +126,17 @@ def main(argv=None):
     ckpt = Checkpointer(out_dir)
     periodic = PeriodicCheckpointer(ckpt, config.min_check_point_iters)
 
-    if config.saved_model_path or ckpt.exists("latest"):
+    if config.saved_model_path and str(config.saved_model_path).endswith(".pkl"):
+        # Warm start from pickled params (e.g. a tools/e2e_alanine.py
+        # checkpoint); optimizer state starts fresh (the reference's
+        # warm_start loads module weights only, train_deepspeed.py:148-158).
+        import pickle
+
+        with open(config.saved_model_path, "rb") as f:
+            params = jax.device_put(pickle.load(f))
+        state = TrainState.create(params, optimizer)
+        print(f"warm start from {config.saved_model_path}")
+    elif config.saved_model_path or ckpt.exists("latest"):
         try:
             state, epoch0 = ckpt.restore("latest", state)
             print(f"resumed from epoch {epoch0}")
