@@ -297,7 +297,10 @@ def run_train_and_mh(args, topo, system, traj_coords, traj_velocs):
         state = TrainState.create(params, optimizer)
         loss_fn = make_loss(loss_cfg, energy_model=energy_model)
         step = make_train_step(model, loss_fn, optimizer, mesh=None, data_augmentation=True)
-        ema = params if args.ema > 0 else None
+        # Copy: the original params buffers are donated into the first
+        # jitted step (donate_argnums) and deleted; an aliased EMA seed
+        # crashes with "Array has been deleted".
+        ema = jax.tree.map(jnp.copy, params) if args.ema > 0 else None
         if ema is not None:
             d = args.ema
             ema_fn = jax.jit(
