@@ -47,12 +47,16 @@ def main():
     velocs0 = jnp.zeros((V, 3))
 
     params = None
-    # Newest trained parameter set wins (all ad_params*.pkl share the
-    # flagship architecture).
+    # Newest trained parameter set wins (all these checkpoints share the
+    # flagship architecture). adB_product = round-3 product model.
     import glob
 
     cands = sorted(
-        glob.glob("runs/ad_params*.pkl"), key=os.path.getmtime, reverse=True
+        glob.glob("runs/adB_product.pkl")
+        + glob.glob("runs/ad_params*.pkl")
+        + glob.glob("runs/ad1_parity.pkl"),
+        key=os.path.getmtime,
+        reverse=True,
     )
     for cand in cands:
         try:
