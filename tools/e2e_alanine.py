@@ -340,6 +340,12 @@ def run_train_and_mh(args, topo, system, traj_coords, traj_velocs):
             with open(args.save_params, "wb") as f:
                 pickle.dump(jax.device_get(params), f)
             print(f"saved params ({tag}) -> {args.save_params}", flush=True)
+            if tag.startswith("post-"):
+                # Keep phase-boundary checkpoints (e.g. the pure-NLL model
+                # before an acceptance/bonded finetune overwrites the path).
+                side = args.save_params.replace(".pkl", f".{tag}.pkl")
+                with open(side, "wb") as f:
+                    pickle.dump(jax.device_get(params), f)
 
     if args.train_steps > 0:
         params, nll = train_phase(
