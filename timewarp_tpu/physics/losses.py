@@ -192,16 +192,21 @@ def make_energy_loss(config, energy_model) -> Callable:
 
     def bonded_excess_loss(model, params, batch, rng, step=0, energy_system=None):
         """Mean relu(excess bond+angle energy of one proposal sample over
-        the current state), kT per atom.
+        the current state) PLUS relu(excess kinetic energy over its 3V/2
+        equipartition mean), kT per atom.
 
         Targets the proposal-heat failure mode directly (round-2 diagnosis:
         flow samples sit slightly off the bond/angle manifold and the MH
         exponent punishes that by tens of kT). Unlike the full energy loss
         it has no pull toward low-energy minima: proposals matching the
-        data's thermal bonded energy pay zero. Analytically differentiable
-        here -- the reference's OpenMM bridge could not expose per-term
-        gradients to training (reference: losses.py:559-664 uses only total
-        energies)."""
+        data's thermal bonded energy pay zero.
+
+        The kinetic term is NOT optional: a bonded-only version of this
+        loss lowered coordinate energy by twisting the velocity-coupled
+        layers instead, inflating sampled velocity std to 1.47 (kinetic
+        +38 kT median) and collapsing MH acceptance to zero (round-3 run B
+        postmortem). The MH exponent pays for kinetic excess exactly like
+        potential excess, so the regularizer must too."""
         assert not mixed, "bonded excess loss: single-system batches only"
         from timewarp_tpu.physics.energy import angle_energy, bond_energy
 
@@ -219,16 +224,24 @@ def make_energy_loss(config, energy_model) -> Callable:
             x_velocs = jax.random.normal(k_v, batch.atom_velocs.shape)
         else:
             x_velocs = batch.atom_velocs
-        yc, _, _ = model.apply(
+        yc, yv, _ = model.apply(
             params, rng, batch.atom_types, batch.atom_coords, x_velocs,
             batch.masked_elements, 1, method="conditional_sample_with_logp",
         )
-        excess = jax.nn.relu(bonded(yc[0]) - bonded(batch.atom_coords))
+        excess_pot = jax.nn.relu(bonded(yc[0]) - bonded(batch.atom_coords))
         num_atoms = (~batch.masked_elements).sum(axis=1)
+        masses = jnp.pad(
+            jnp.asarray(energy_model.masses),
+            (0, batch.atom_coords.shape[1] - V_sys),
+        )
+        e_kin = _masked_kinetic(yv[0], masses, kT, random_velocs)
+        excess_kin = jax.nn.relu(e_kin - 1.5 * num_atoms)
+        excess = excess_pot + excess_kin
         loss = (excess / num_atoms).mean()
         return loss, {
             "bonded_excess_loss": loss,
-            "bonded_excess_kT": excess.mean(),
+            "bonded_excess_kT": excess_pot.mean(),
+            "kinetic_excess_kT": excess_kin.mean(),
         }
 
     if name == "acceptance":
