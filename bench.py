@@ -51,12 +51,14 @@ def main():
     # flagship architecture). adB_product = round-3 product model.
     import glob
 
-    cands = sorted(
-        glob.glob("runs/adB_product.pkl")
-        + glob.glob("runs/ad_params*.pkl")
-        + glob.glob("runs/ad1_parity.pkl"),
-        key=os.path.getmtime,
-        reverse=True,
+    cands = (
+        glob.glob("runs/adB_healed.pkl")
+        + glob.glob("runs/adB_product.pkl")
+        + sorted(
+            glob.glob("runs/ad_params*.pkl") + glob.glob("runs/ad1_parity.pkl"),
+            key=os.path.getmtime,
+            reverse=True,
+        )
     )
     for cand in cands:
         try:
