@@ -178,6 +178,8 @@ def main():
     ap.add_argument("--mh-proposals", type=int, default=200000,
                     help="MH proposals per held-out peptide")
     ap.add_argument("--eval-walkers", type=int, default=16)
+    ap.add_argument("--eval-segment-iters", type=int, default=128)
+    ap.add_argument("--eval-max-k", type=int, default=64)
     ap.add_argument("--save-params", default=None)
     ap.add_argument("--load-params", default=None)
     ap.add_argument("--report", default=None)
@@ -383,8 +385,10 @@ def main():
             jnp.asarray(system.masses), float(kbT()), init,
             jax.random.PRNGKey(17), topo,
             num_proposals=args.mh_proposals,
-            config=MHConfig(num_proposal_steps=16, max_num_proposal_steps=64),
-            bins=18, segment_iters=128, adaptive_parallelism=True,
+            config=MHConfig(num_proposal_steps=16,
+                            max_num_proposal_steps=args.eval_max_k),
+            bins=18, segment_iters=args.eval_segment_iters,
+            adaptive_parallelism=True,
         )
         dt = time.time() - t0
         md_hist = ramachandran_histogram(td.coord_features, topo, bins=18)
