@@ -24,11 +24,12 @@ AD_PDB = "/root/reference/simulation/testdata/alanine-dipeptide.pdb"
 def test_energy_histogram_overlap_bounds(rng):
     a = rng.normal(size=2000)
     assert energy_histogram_overlap(a, a) > 0.9
-    # Median-centering (default) deliberately ignores constant offsets --
-    # the convention-level offset vs OpenMM (tests/test_physics.py:62-68);
-    # shape differences still register.
-    assert energy_histogram_overlap(a, a + 100) > 0.9
-    assert energy_histogram_overlap(a, a + 100, center=False) < 0.05
+    # Median-centering (opt-in, for cross-potential comparisons) deliberately
+    # ignores constant offsets -- the convention-level offset vs OpenMM
+    # (tests/test_physics.py:62-68); shape differences still register. The
+    # uncentered default treats a mean shift as a real distribution mismatch.
+    assert energy_histogram_overlap(a, a + 100, center=True) > 0.9
+    assert energy_histogram_overlap(a, a + 100) < 0.05
     assert energy_histogram_overlap(a, 3.0 * a) < 0.6
 
 

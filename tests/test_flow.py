@@ -141,6 +141,40 @@ def test_sample_density_consistency(name, cfg, nprng):
         np.testing.assert_allclose(np.asarray(ll), np.asarray(logp[s]), atol=2e-3, rtol=1e-4)
 
 
+def test_tempered_sample_density_consistency(nprng):
+    """Tempered proposals (temperature != 1) report the exact density of the
+    tempered proposal distribution: sampling logp == log_likelihood at the
+    same temperature, and != the untempered likelihood. MH with a tempered
+    proposal relies on this exactness (sampling/mh.py make_flow_proposal)."""
+    name, cfg = ALL_CONFIGS[0].values[:2]
+    model, params, inputs = cached_model(name, cfg, nprng)
+    atom_types, x_coords, x_velocs, y_coords, y_velocs, mask = inputs
+    tau, tau_v = 0.8, 1.1
+    yc, yv, logp = model.apply(
+        params,
+        jax.random.PRNGKey(1),
+        atom_types,
+        x_coords,
+        x_velocs,
+        mask,
+        2,
+        method="conditional_sample_with_logp",
+        temperature=tau,
+        veloc_temperature=tau_v,
+    )
+    for s in range(2):
+        ll = model.apply(
+            params, atom_types, x_coords, x_velocs, yc[s], yv[s], mask,
+            method="log_likelihood", temperature=tau, veloc_temperature=tau_v,
+        )
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(logp[s]), atol=2e-3, rtol=1e-4)
+        ll1 = model.apply(
+            params, atom_types, x_coords, x_velocs, yc[s], yv[s], mask,
+            method="log_likelihood",
+        )
+        assert np.abs(np.asarray(ll1) - np.asarray(logp[s])).min() > 1e-3
+
+
 @pytest.mark.parametrize("name,cfg", ALL_CONFIGS)
 def test_batch_independence(name, cfg, nprng):
     """loss(batch) == mean(loss(singletons)) -- catches masking/padding bugs

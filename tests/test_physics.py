@@ -175,5 +175,5 @@ def test_energy_histogram_overlap_centered_vs_golden(golden):
     pos = jnp.asarray(d["positions"])
     E = np.asarray(batched_potential_energy(system, pos))
     gE = d["energies"][:, 0]
-    assert energy_histogram_overlap(E, gE, bins=10) > 0.5
-    assert energy_histogram_overlap(E, gE, bins=10, center=False) < 0.05
+    assert energy_histogram_overlap(E, gE, bins=10, center=True) > 0.5
+    assert energy_histogram_overlap(E, gE, bins=10) < 0.05

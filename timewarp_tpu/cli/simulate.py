@@ -54,7 +54,6 @@ def main(argv=None):
 
     from timewarp_tpu.data.pdb import parse_pdb
     from timewarp_tpu.physics.amber.build import build_system
-    from timewarp_tpu.physics.constants import DEFAULT_TIMESTEP
     from timewarp_tpu.physics.energy import batched_potential_energy, potential_energy
     from timewarp_tpu.physics.integrator import (
         LangevinConfig,
@@ -143,7 +142,9 @@ def main(argv=None):
         np.savez_compressed(
             f"{prefix}-traj-arrays.npz",
             step=steps,
-            time=steps * DEFAULT_TIMESTEP,
+            # The integrator ran at cfg.timestep (preset- or CLI-overridden),
+            # not necessarily DEFAULT_TIMESTEP (ADVICE round 3, item 5).
+            time=steps * cfg.timestep,
             positions=tc[w].astype(np.float32),
             velocities=tv[w].astype(np.float32),
             forces=forces.astype(np.float32),

@@ -110,12 +110,21 @@ class ConditionalFlowDensity(nn.Module):
         """
         return self.chain(z_coords, z_velocs, cond, reverse=reverse)
 
-    def _prior_log_prob(self, z_coords, z_velocs, masked_elements):
+    def _prior_log_prob(
+        self, z_coords, z_velocs, masked_elements, log_temp_c=0.0, log_temp_v=0.0
+    ):
+        """log_temp_*: log of a proposal temperature multiplying the prior
+        scale. Tempering defines a *different, exactly tractable* proposal
+        density q_tau -- MH with q_tau's own density in both directions stays
+        exact, so tau is a pure inference-time knob (no reference analogue;
+        used to trade proposal heat against reverse likelihood)."""
         lp_c = masked_sum(
-            gaussian_log_prob(z_coords, self.coords_prior_log_scale), masked_elements
+            gaussian_log_prob(z_coords, self.coords_prior_log_scale + log_temp_c),
+            masked_elements,
         )
         lp_v = masked_sum(
-            gaussian_log_prob(z_velocs, self.velocs_prior_log_scale), masked_elements
+            gaussian_log_prob(z_velocs, self.velocs_prior_log_scale + log_temp_v),
+            masked_elements,
         )
         return lp_c + lp_v
 
@@ -127,6 +136,8 @@ class ConditionalFlowDensity(nn.Module):
         y_coords: jnp.ndarray,
         y_velocs: jnp.ndarray,
         masked_elements: jnp.ndarray,  # [B, V] bool
+        temperature: float = 1.0,
+        veloc_temperature: float = None,
     ) -> jnp.ndarray:  # [B]
         cond, _ = self._conditioning(atom_types, x_coords, x_velocs, masked_elements)
         z_coords = y_coords - x_coords if self.use_displacement_as_target else y_coords
@@ -134,7 +145,17 @@ class ConditionalFlowDensity(nn.Module):
         z_coords, z_velocs, logdet = self._run_chain(
             z_coords, z_velocs, cond, reverse=False
         )
-        return self._prior_log_prob(z_coords, z_velocs, masked_elements) + logdet
+        tv = temperature if veloc_temperature is None else veloc_temperature
+        return (
+            self._prior_log_prob(
+                z_coords,
+                z_velocs,
+                masked_elements,
+                log_temp_c=math.log(temperature),
+                log_temp_v=math.log(tv),
+            )
+            + logdet
+        )
 
     def __call__(self, atom_types, x_coords, x_velocs, y_coords, y_velocs, masked_elements):
         """Mean per-atom NLL over the batch (the training loss surface,
@@ -153,23 +174,34 @@ class ConditionalFlowDensity(nn.Module):
         x_velocs: jnp.ndarray,
         masked_elements: jnp.ndarray,
         num_samples: int,
+        temperature: float = 1.0,
+        veloc_temperature: float = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Draw S proposals per batch element.
+
+        ``temperature`` scales the latent prior the proposals are drawn from
+        (tau < 1 = colder, sharper proposals); the returned logp is the exact
+        density of the TEMPERED proposal, so MH with it stays exact.
 
         Returns (y_coords [S,B,V,3], y_velocs [S,B,V,3], logp [S,B]).
         """
         B, V = atom_types.shape
         S = num_samples
+        tv = temperature if veloc_temperature is None else veloc_temperature
         cond, com = self._conditioning(atom_types, x_coords, x_velocs, masked_elements)
 
         kc, kv = jax.random.split(rng)
-        sc = jnp.exp(self.coords_prior_log_scale)
-        sv = jnp.exp(self.velocs_prior_log_scale)
+        sc = temperature * jnp.exp(self.coords_prior_log_scale)
+        sv = tv * jnp.exp(self.velocs_prior_log_scale)
         z_coords = sc * jax.random.normal(kc, (S * B, V, 3), x_coords.dtype)
         z_velocs = sv * jax.random.normal(kv, (S * B, V, 3), x_coords.dtype)
 
         prior_lp = self._prior_log_prob(
-            z_coords, z_velocs, jnp.tile(masked_elements, (S, 1))
+            z_coords,
+            z_velocs,
+            jnp.tile(masked_elements, (S, 1)),
+            log_temp_c=math.log(temperature),
+            log_temp_v=math.log(tv),
         )  # [S*B]
 
         cond_tiled = Conditioning(

@@ -292,6 +292,9 @@ def sample_ensemble(
     acceptance; adapting K recovers that as extra chain states per proposal.
     """
     initial_coords = jnp.asarray(initial_coords)
+    # Always run at least one segment: with num_proposals <= 0 the loop
+    # below would produce no snapshots (np.stack on an empty list).
+    num_proposals = max(num_proposals, 1)
     W, V = initial_coords.shape[0], initial_coords.shape[1]
     K = config.num_proposal_steps
     max_K = min(config.max_num_proposal_steps, max(K_BUCKETS))

@@ -152,18 +152,21 @@ def kinetic_energy_ks(velocs: np.ndarray, masses: np.ndarray, kT: float) -> floa
 
 
 def energy_histogram_overlap(
-    e_a: np.ndarray, e_b: np.ndarray, bins: int = 50, center: bool = True
+    e_a: np.ndarray, e_b: np.ndarray, bins: int = 50, center: bool = False
 ) -> float:
     """Histogram intersection of two potential-energy distributions in [0,1].
 
-    ``center`` (default) subtracts each set's median first. The JAX AMBER
+    ``center=True`` subtracts each set's median first. The JAX AMBER
     potential carries a convention-level CONSTANT offset vs OpenMM
     (~236 kJ/mol on the 2olx golden fixture; torsion-k and GB/SA constant
     conventions -- tests/test_physics.py:62-68). The offset cancels in every
     MH energy *difference*, but an uncentered histogram intersection of our
     energies against reference-computed energies would silently report ~0
-    overlap. Pass center=False only when both sets come from the same
-    potential."""
+    overlap -- so pass center=True when (and only when) the two sets come
+    from DIFFERENT potentials. The default is uncentered: when both sets
+    come from the same potential a genuine mean-energy shift (e.g. proposal
+    heat in an MH chain) must show up as low overlap, not be subtracted
+    away (ADVICE round 3, item 1)."""
     e_a = np.asarray(e_a, dtype=np.float64)
     e_b = np.asarray(e_b, dtype=np.float64)
     if center:

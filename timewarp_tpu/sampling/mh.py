@@ -107,11 +107,19 @@ def compute_num_proposal_steps(
     return max(int(math.ceil(min(raw, max_num_proposal_steps))), 1)
 
 
-def make_flow_proposal(model, atom_types, masked_elements, random_velocs=True):
+def make_flow_proposal(
+    model, atom_types, masked_elements, random_velocs=True, temperature=1.0,
+    veloc_temperature=None,
+):
     """Adapt a ConditionalFlowDensity into (propose_fn, reverse_logp_fn)
     over unpadded single-molecule states.
 
     atom_types/masked_elements: [1, V] conditioning metadata.
+
+    ``temperature`` tempers the proposal's latent prior (tau < 1 = colder
+    proposals). Both the forward sample logp and the reverse logp are
+    evaluated under the SAME tempered density, so MH remains exact for any
+    tau (flow.py conditional_sample_with_logp docstring).
     """
 
     def propose_fn(params, rng, x_coords, x_velocs, K):
@@ -124,6 +132,8 @@ def make_flow_proposal(model, atom_types, masked_elements, random_velocs=True):
             masked_elements,
             K,
             method="conditional_sample_with_logp",
+            temperature=temperature,
+            veloc_temperature=veloc_temperature,
         )
         return yc[:, 0], yv[:, 0], logp[:, 0]  # [K, V, 3], [K, V, 3], [K]
 
@@ -139,6 +149,8 @@ def make_flow_proposal(model, atom_types, masked_elements, random_velocs=True):
             flip * jnp.tile(x_velocs[None], (K, 1, 1)),
             jnp.tile(masked_elements, (K, 1)),
             method="log_likelihood",
+            temperature=temperature,
+            veloc_temperature=veloc_temperature,
         )  # [K]
 
     return propose_fn, reverse_logp_fn

@@ -69,6 +69,114 @@ def torsion_features(coords: np.ndarray, topology: Topology) -> np.ndarray:
     return np.concatenate([np.cos(angles), np.sin(angles)], axis=-1)
 
 
+HEAVY_TICA_ELEMENTS = ("C", "N", "S")
+
+
+def tica_features_full(coords: np.ndarray, topology: Topology) -> np.ndarray:
+    """The reference's TICA feature set (reference: utils/tica_utils.py:7-37):
+    pairwise distances between C/N/S atoms plus sin/cos of backbone
+    torsions. Deviation, documented: the reference wraps (phi, phi, omega)
+    -- its ``psi`` line calls ``md.compute_phi`` twice (tica_utils.py:26-27);
+    we use the actual (phi, psi), which can only make the feature set more
+    informative, and omit omega (trans-planar, ~constant for our peptides)."""
+    heavy = [
+        i for i, a in enumerate(topology.atoms) if a.element in HEAVY_TICA_ELEMENTS
+    ]
+    xyz = np.asarray(coords)[:, heavy]
+    m, n = np.triu_indices(len(heavy), k=1)
+    dists = np.linalg.norm(xyz[:, m] - xyz[:, n], axis=-1)
+    return np.concatenate([dists, torsion_features(coords, topology)], axis=-1)
+
+
+class TICAModel:
+    """Fit-once / transform-many TICA (symmetrized estimator, generalized
+    symmetric eigenproblem C_lag v = l C_0 v). The reference fits deeptime's
+    TICA on the MD trajectory and projects both MD and model chains through
+    the same model (reference: notebooks/Paper/speed-up-mcmc.ipynb cell 8)."""
+
+    def __init__(self, mean: np.ndarray, components: np.ndarray, eigvals: np.ndarray):
+        self.mean = mean
+        self.components = components  # [F, dim]
+        self.eigvals = eigvals
+
+    @classmethod
+    def fit(cls, features, lag: int = 100, dim: int = 2) -> "TICAModel":
+        """``features``: [T, F] array or a list of per-trajectory [T_i, F]
+        arrays; covariances accumulate per trajectory so lagged pairs never
+        cross independent-walker boundaries."""
+        from scipy.linalg import eigh
+
+        trajs = (
+            [np.asarray(features, dtype=np.float64)]
+            if isinstance(features, np.ndarray) and features.ndim == 2
+            else [np.asarray(f, dtype=np.float64) for f in features]
+        )
+        mean = np.concatenate(trajs).mean(axis=0)
+        F = trajs[0].shape[1]
+        c0 = np.zeros((F, F))
+        ct = np.zeros((F, F))
+        n = 0
+        for t in trajs:
+            if len(t) <= lag:
+                continue
+            x = t - mean
+            x0, xt = x[:-lag], x[lag:]
+            c0 += x0.T @ x0 + xt.T @ xt
+            ct += x0.T @ xt + xt.T @ x0
+            n += 2 * len(x0)
+        if n == 0:
+            raise ValueError(f"no trajectory longer than lag={lag}")
+        c0 /= n
+        ct /= n
+        c0 += 1e-8 * np.eye(F)
+        evals, evecs = eigh(ct, c0)
+        order = np.argsort(evals)[::-1]
+        return cls(mean, evecs[:, order[:dim]], evals[order[:dim]])
+
+    def transform(self, features: np.ndarray) -> np.ndarray:
+        return (np.asarray(features, dtype=np.float64) - self.mean) @ self.components
+
+
+def autocorrelation(x: np.ndarray, max_lag: int = None) -> np.ndarray:
+    """FFT-based normalized autocorrelation of a 1-D series (the arviz
+    ``az.autocorr`` the reference notebook uses)."""
+    x = np.asarray(x, dtype=np.float64).ravel()
+    n = len(x)
+    x = x - x.mean()
+    nfft = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(x, nfft)
+    acov = np.fft.irfft(f * np.conj(f))[:n] / n
+    rho = acov / acov[0] if acov[0] > 0 else np.zeros(n)
+    return rho[:max_lag] if max_lag else rho
+
+
+def ess_per_sample(rho: np.ndarray) -> float:
+    """Effective-sample-size fraction from an autocorrelation curve,
+    truncated at the first non-positive lag -- exactly the notebook's
+    ``ESS`` (reference: speed-up-mcmc.ipynb cell 7):
+    Neff/N = 1 / (-1 + 2 * sum_{t<t0} |rho_t|), rho_0 = 1 included."""
+    rho = np.asarray(rho)
+    nonpos = np.nonzero(rho <= 0)[0]
+    cut = int(nonpos[0]) if len(nonpos) else len(rho)
+    denom = -1.0 + 2.0 * np.abs(rho[:cut]).sum()
+    return float(1.0 / max(denom, 1.0))
+
+
+def tic_coverage_gap(tics_ref: np.ndarray, tics_model: np.ndarray, stride: int = 10) -> float:
+    """Max over reference TIC points of the min distance to any model point,
+    in per-axis-normalized TIC(0,1) space -- the notebook's missing-state
+    check (speed-up-mcmc.ipynb cell 8: gap >= 0.3 means the model chain
+    missed states and its speed-up is recorded as 0)."""
+    from scipy.spatial import distance
+
+    a = np.asarray(tics_ref)[::stride, :2]
+    b = np.asarray(tics_model)[::stride, :2]
+    ranges = np.abs(a).max(axis=0)
+    ranges[ranges == 0] = 1.0
+    d = distance.cdist(a / ranges, b / ranges)
+    return float(d.min(axis=1).max())
+
+
 # ---------------------------------------------------------------------------
 # Plots (lazy matplotlib).
 # ---------------------------------------------------------------------------

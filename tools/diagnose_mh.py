@@ -103,6 +103,13 @@ def main():
     ap.add_argument("--enc-layers", type=int, default=3)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the TPU tunnel is single-client)")
+    ap.add_argument("--temperature", type=float, default=1.0,
+                    help="proposal temperature (latent prior scale multiplier; "
+                         "MH stays exact, see flow.conditional_sample_with_logp)")
+    ap.add_argument("--veloc-temperature", type=float, default=None)
+    ap.add_argument("--temp-sweep", type=str, default=None,
+                    help="comma-separated taus: report proposal acceptance at "
+                         "each temperature from both basin representatives")
     args = ap.parse_args()
 
     topo = parse_pdb(AD_PDB)
@@ -128,32 +135,40 @@ def main():
 
     atom_types1 = jnp.asarray(topo.atom_types[None])
     mask1 = jnp.zeros((1, V), bool)
-    propose_fn, reverse_logp_fn = make_flow_proposal(model, atom_types1, mask1)
+    propose_fn, reverse_logp_fn = make_flow_proposal(
+        model, atom_types1, mask1,
+        temperature=args.temperature, veloc_temperature=args.veloc_temperature,
+    )
     energy_fn = make_amber_energy(system)
     masses = jnp.asarray(system.masses)
     kT = float(kbT())
 
-    @jax.jit
-    def diag(x_coords, rng):
-        # Mirrors mh_segment's body exactly (sampling/mh.py:225-273):
-        # resampled unit-variance x velocities condition both directions;
-        # energy_fn returns kT units; kinetic = 0.5|v|^2.
-        k1, k2 = jax.random.split(rng)
-        x_velocs = jax.random.normal(k2, (V, 3))
-        yc, yv, logp_xy = propose_fn(params, k1, x_coords, x_velocs, args.proposals)
-        e_x = energy_fn(x_coords)
-        e_y = energy_fn(yc)
-        kin_x = 0.5 * jnp.sum(x_velocs**2, axis=(-2, -1))
-        kin_y = 0.5 * jnp.sum(yv**2, axis=(-2, -1))
-        logp_yx = reverse_logp_fn(params, yc, yv, x_coords, x_velocs)
-        log_acc = -((e_y - e_x) + (kin_y - kin_x) + logp_xy - logp_yx)
-        parts = {
-            "dE_pot": e_y - e_x,
-            "dE_kin": kin_y - kin_x,
-            "logp_xy": logp_xy,
-            "logp_yx": logp_yx,
-        }
-        return yc, jnp.minimum(log_acc, 0.0), parts
+    def make_diag(p_fn, r_fn, n_proposals):
+        @jax.jit
+        def diag(x_coords, rng):
+            # Mirrors mh_segment's body exactly (sampling/mh.py:225-273):
+            # resampled unit-variance x velocities condition both directions;
+            # energy_fn returns kT units; kinetic = 0.5|v|^2.
+            k1, k2 = jax.random.split(rng)
+            x_velocs = jax.random.normal(k2, (V, 3))
+            yc, yv, logp_xy = p_fn(params, k1, x_coords, x_velocs, n_proposals)
+            e_x = energy_fn(x_coords)
+            e_y = energy_fn(yc)
+            kin_x = 0.5 * jnp.sum(x_velocs**2, axis=(-2, -1))
+            kin_y = 0.5 * jnp.sum(yv**2, axis=(-2, -1))
+            logp_yx = r_fn(params, yc, yv, x_coords, x_velocs)
+            log_acc = -((e_y - e_x) + (kin_y - kin_x) + logp_xy - logp_yx)
+            parts = {
+                "dE_pot": e_y - e_x,
+                "dE_kin": kin_y - kin_x,
+                "logp_xy": logp_xy,
+                "logp_yx": logp_yx,
+            }
+            return yc, jnp.minimum(log_acc, 0.0), parts
+
+        return diag
+
+    diag = make_diag(propose_fn, reverse_logp_fn, args.proposals)
 
     @jax.jit
     def data_pair_acc(x_coords, y_coords, rng):
@@ -199,6 +214,29 @@ def main():
         f"dE_pot med {np.median(des):+.1f} kT; (logp_xy - logp_yx) med {np.median(dlogs):+.1f}",
         flush=True,
     )
+
+    if args.temp_sweep:
+        # Proposal-only acceptance at each temperature, from both basin
+        # representatives. Uses 1024 proposals per (tau, basin) point; each
+        # tau is a fresh compile (temperature is a trace-time constant).
+        taus = [float(t) for t in args.temp_sweep.split(",")]
+        print("temperature sweep (mean acc / P(acc>1%) / median dE_pot kT):")
+        for tau in taus:
+            p_fn, r_fn = make_flow_proposal(
+                model, atom_types1, mask1, temperature=tau,
+                veloc_temperature=args.veloc_temperature,
+            )
+            d = make_diag(p_fn, r_fn, 1024)
+            row = []
+            for tag, idx in (("beta", idx_beta), ("alphaR", idx_alpha)):
+                x = jnp.asarray(sub[idx])
+                _, log_acc, parts = d(x, jax.random.PRNGKey(5))
+                acc = np.exp(np.asarray(log_acc))
+                de = np.median(np.asarray(parts["dE_pot"]))
+                row.append(
+                    f"{tag}: {acc.mean():.4f} / {(acc > 0.01).mean():.3f} / {de:+.1f}"
+                )
+            print(f"  tau={tau:<5} " + "   ".join(row), flush=True)
 
     from timewarp_tpu.physics.energy import potential_energy_terms
 

@@ -163,12 +163,20 @@ def main():
     # multi-million-step lax.scan program exceeds the axon tunnel's
     # execution watchdog and crashes the TPU worker (observed twice at
     # 2.5M steps/program).
-    burn = jax.jit(
-        jax.vmap(lambda c, v, k: run_segment(system, c, v, k, num_steps=100_000))
-    )
     coords, velocs = coords0, velocs0
-    for r in range(max(args.burn_in // 100_000, 1)):
-        coords, velocs = burn(
+    burn_chunks = []
+    remaining = max(args.burn_in, 1)
+    while remaining > 0:
+        burn_chunks.append(min(remaining, 100_000))
+        remaining -= burn_chunks[-1]
+    burn_fns = {
+        n: jax.jit(
+            jax.vmap(lambda c, v, k, n=n: run_segment(system, c, v, k, num_steps=n))
+        )
+        for n in set(burn_chunks)
+    }
+    for r, n in enumerate(burn_chunks):
+        coords, velocs = burn_fns[n](
             coords, velocs,
             jax.random.split(jax.random.PRNGKey(args.data_seed + 1 + r), W),
         )

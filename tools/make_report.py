@@ -103,7 +103,11 @@ def main():
         "num_accepted": int(accepted),
         "chain_length": int(len(coords)),
         "ramachandran_kl": ramachandran_kl(phi_md, psi_md, phi_mh, psi_mh),
+        # Same-potential comparison: uncentered, so a genuine mean-energy
+        # shift between chain and MD (proposal heat) lowers the overlap.
+        # The centered variant is co-reported for shape-only comparison.
         "energy_overlap": energy_histogram_overlap(e_md, e_ch),
+        "energy_overlap_centered": energy_histogram_overlap(e_md, e_ch, center=True),
     }
     with open(f"{args.out}/summary.json", "w") as f:
         json.dump(summary, f, indent=1)
