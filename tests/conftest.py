@@ -24,7 +24,8 @@ import pytest
 
 # Files whose tests dominate suite wall time (jit-heavy model-zoo sweeps,
 # multi-device training, golden-file physics). Everything else is the
-# `-m fast` iteration lane (<2 min).
+# `-m fast` iteration lane (~7 min on this container's single CPU core
+# when idle; slower if a TPU run shares the core).
 SLOW_FILES = {
     "test_model_zoo.py",
     "test_training.py",

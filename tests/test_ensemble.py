@@ -117,6 +117,47 @@ def test_adaptive_parallelism_shrinks_K():
     assert res.acceptance_rate > 0.9
 
 
+def test_ensemble_sharded_over_mesh():
+    """Walker axis sharded over the virtual 8-device CPU mesh must produce
+    EXACTLY the same chain statistics as the single-device run: walkers are
+    independent chains with per-walker RNG keys, and the histogram updates
+    are integer-valued float adds, so sharding cannot change the result."""
+    from timewarp_tpu.data.pdb import parse_pdb
+    from timewarp_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    topo = parse_pdb("/root/reference/simulation/testdata/alanine-dipeptide.pdb")
+    V = topo.num_atoms
+    energy_fn, propose_fn, reverse_logp_fn, masses = _gaussian_setup(V, sigma=1.2)
+    W = 2 * jax.device_count()
+    kwargs = dict(
+        num_proposals=W * 8 * 4,
+        config=MHConfig(num_proposal_steps=4),
+        bins=6,
+        segment_iters=8,
+    )
+    res_1 = sample_ensemble(
+        None, propose_fn, reverse_logp_fn, energy_fn, masses, 1.0,
+        jnp.zeros((W, V, 3)), jax.random.PRNGKey(0), topo, **kwargs,
+    )
+    res_m = sample_ensemble(
+        None, propose_fn, reverse_logp_fn, energy_fn, masses, 1.0,
+        jnp.zeros((W, V, 3)), jax.random.PRNGKey(0), topo,
+        mesh=make_mesh(), **kwargs,
+    )
+    assert res_m.num_states == res_1.num_states
+    assert res_m.num_accepted == res_1.num_accepted
+    np.testing.assert_allclose(res_m.hist, res_1.hist)
+    np.testing.assert_allclose(res_m.final_coords, res_1.final_coords, atol=1e-6)
+    with pytest.raises(ValueError):
+        sample_ensemble(
+            None, propose_fn, reverse_logp_fn, energy_fn, masses, 1.0,
+            jnp.zeros((jax.device_count() + 1, V, 3)), jax.random.PRNGKey(0),
+            topo, mesh=make_mesh(), **kwargs,
+        )
+
+
 def test_paired_indices_alanine():
     from timewarp_tpu.data.pdb import parse_pdb
 

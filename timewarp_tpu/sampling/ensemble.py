@@ -28,6 +28,7 @@ import numpy as np
 from flax import struct
 
 from timewarp_tpu.data.pdb import Topology
+from timewarp_tpu.parallel.mesh import DATA_AXIS
 from timewarp_tpu.sampling.mh import (
     CHIRALITY_PENALTY,
     K_BUCKETS,
@@ -279,6 +280,7 @@ def sample_ensemble(
     md_step_fn=None,
     log_every: int = 0,
     adaptive_parallelism: bool = False,
+    mesh=None,
 ) -> EnsembleResults:
     """Run W parallel MH chains for ~num_proposals total flow proposals.
 
@@ -290,12 +292,28 @@ def sample_ensemble(
     (reference: utils/evaluation_utils.py:32-64,684-697). At acceptance ~2%
     a fixed K=32 wastes ~45% of proposals past each iteration's first
     acceptance; adapting K recovers that as extra chain states per proposal.
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh`` over the ``data`` axis) the
+    walker axis is sharded across devices: walkers are independent chains,
+    so the segment runs embarrassingly parallel and only the shared
+    histogram/counter reductions cross devices (XLA inserts those over ICI).
+    W must divide the mesh size. This is the TPU-native scale-out of the
+    *product* sampler -- the reference has no multi-GPU sampling at all
+    (its MH chain is single-GPU, utils/evaluation_utils.py:468-745).
     """
     initial_coords = jnp.asarray(initial_coords)
     # Always run at least one segment: with num_proposals <= 0 the loop
     # below would produce no snapshots (np.stack on an empty list).
     num_proposals = max(num_proposals, 1)
     W, V = initial_coords.shape[0], initial_coords.shape[1]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        n_dev = mesh.devices.size
+        if W % n_dev:
+            raise ValueError(f"walkers ({W}) must divide the mesh size ({n_dev})")
+        walker_sh = NamedSharding(mesh, _P(DATA_AXIS))
+        initial_coords = jax.device_put(initial_coords, walker_sh)
     K = config.num_proposal_steps
     max_K = min(config.max_num_proposal_steps, max(K_BUCKETS))
     if adaptive_parallelism:
@@ -311,12 +329,13 @@ def sample_ensemble(
     if phi_quads.shape[0] == 0:
         raise ValueError("topology has no interior residues with phi+psi")
 
+    velocs0 = jnp.zeros((W, V, 3), initial_coords.dtype)
+    e_pot0 = energy_fn(initial_coords)
+    if mesh is not None:
+        velocs0 = jax.device_put(velocs0, walker_sh)
+        e_pot0 = jax.device_put(e_pot0, walker_sh)
     carry = EnsembleCarry(
-        state=MHState(
-            coords=initial_coords,
-            velocs=jnp.zeros((W, V, 3), initial_coords.dtype),
-            e_pot=energy_fn(initial_coords),
-        ),
+        state=MHState(coords=initial_coords, velocs=velocs0, e_pot=e_pot0),
         hist=jnp.zeros(bins * bins, jnp.float32),
         num_accepted=jnp.int32(0),
         num_states=jnp.int32(0),
