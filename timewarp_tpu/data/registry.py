@@ -69,9 +69,21 @@ REGISTRY: Dict[str, DatasetSpec] = {
     "2AA-JAX": DatasetSpec(
         name="2AA-JAX",
         step_width=1000,
+        raw_dir="runs/data_2aa14",
+        description="random uncapped dipeptides under the amber14-implicit "
+                    "preset (the reference's 2AA mapping; ff14SB-torsion gap "
+                    "disclosed in physics/presets.py), train/ + val/ split on "
+                    "disk (generate via: python tools/e2e_2aa.py --gen-only)",
+    ),
+    # Round-3 legacy 2AA data: flat directory, amber99 defaults, split known
+    # only to tools/e2e_2aa.py's in-process lists. Kept for reproducibility
+    # of runs/report_2aa.json; superseded by 2AA-JAX.
+    "2AA-JAX-legacy": DatasetSpec(
+        name="2AA-JAX-legacy",
+        step_width=1000,
         raw_dir="runs/data_2aa",
-        description="random uncapped dipeptides, built + simulated on device "
-                    "(generate via: python tools/e2e_2aa.py --gen-only)",
+        description="round-3 2AA data (amber99-implicit defaults, no on-disk "
+                    "split); superseded by 2AA-JAX",
     ),
     # 4AA-JAX: same recipe at tetrapeptide length (reference 4AA-*,
     # utils/dataset_utils.py:199-206).
@@ -79,7 +91,8 @@ REGISTRY: Dict[str, DatasetSpec] = {
         name="4AA-JAX",
         step_width=1000,
         raw_dir="runs/data_4aa",
-        description="random uncapped tetrapeptides (generate via: "
+        description="random uncapped tetrapeptides, amber14-implicit preset, "
+                    "train/ + val/ split on disk (generate via: "
                     "python tools/e2e_2aa.py --aa-length 4 "
                     "--data-dir runs/data_4aa --gen-only)",
     ),

