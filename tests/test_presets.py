@@ -104,3 +104,32 @@ def test_legacy_integrator_scheme():
     ke = float(0.5 * (jnp.asarray(s.masses)[:, None] * velocs**2).sum())
     target = 1.5 * topo.num_atoms * float(kbT(cfg.temperature))
     assert 0.4 * target < ke < 2.5 * target
+
+
+def test_amber14_internal_golden_fixture():
+    """Pin the amber14-implicit (OBC-I + mbondi2 + 2 nm cutoff) energy path
+    against energies/forces committed FROM THIS IMPLEMENTATION (f64 CPU,
+    tests/data/amber14_2olx_internal.npz, generated round 4): no external
+    OpenMM validation can exist in-image (physics/presets.py disclosure),
+    so this guards the GB-variant path against silent regressions the same
+    way the amber99 golden test guards the validated path (VERDICT round 3,
+    next-steps #8)."""
+    topo = parse_pdb(
+        "/root/reference/simulation/testdata/implicit-2olx-traj-cpu-state0.pdb"
+    )
+    with pytest.warns(UserWarning, match="ff14SB"):
+        system, _ = build_system_from_preset(topo, "amber14-implicit")
+    from timewarp_tpu.physics.energy import forces, potential_energy_terms
+
+    d = np.load("/root/repo/tests/data/amber14_2olx_internal.npz")
+    pos = jnp.asarray(d["positions"])
+    terms = jax.vmap(lambda p: potential_energy_terms(system, p))(pos)
+    for k, v in terms.items():
+        np.testing.assert_allclose(
+            np.asarray(v), d[f"e_{k}"], rtol=2e-4, atol=0.5,
+            err_msg=f"amber14 term {k} moved vs the committed fixture",
+        )
+    F = np.asarray(jax.vmap(lambda p: forces(system, p))(pos[:8]))
+    err = np.linalg.norm(F - d["forces"][:8], axis=-1)
+    scale = np.linalg.norm(d["forces"][:8], axis=-1).mean()
+    assert np.median(err) / scale < 0.005, (np.median(err), scale)
