@@ -47,11 +47,19 @@ def main():
     velocs0 = jnp.zeros((V, 3))
 
     params = None
-    # Newest trained parameter set wins (all these checkpoints share the
-    # flagship architecture). adB_product = round-3 product model.
+    # THE product checkpoint is declared in PRODUCT.json (single source of
+    # truth shared by bench.py, cli.evaluate docs, and the README table --
+    # VERDICT round 3, next-steps #4). Fallbacks keep the bench runnable in
+    # a fresh clone with no trained checkpoints.
     import glob
 
-    cands = (
+    cands = []
+    try:
+        with open("PRODUCT.json") as f:
+            cands.append(json.load(f)["checkpoint"])
+    except Exception:
+        pass
+    cands += (
         glob.glob("runs/adB_healed.pkl")
         + glob.glob("runs/adB_product.pkl")
         + sorted(

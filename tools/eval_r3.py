@@ -104,20 +104,35 @@ def run_ensemble(tag, params, fns, system, topo, init, args, md_hist,
     )
     dt = time.time() - t0
     kl = histogram_kl(res.hist, md_hist)
+    # Co-quoted chain-quality stat (VERDICT round 3, weak #2): uncentered
+    # energy-histogram overlap of chain snapshots vs the MD ensemble --
+    # same potential, so proposal heat shows up as low overlap.
+    from timewarp_tpu.physics.energy import batched_potential_energy
+    from timewarp_tpu.sampling.evaluation import energy_histogram_overlap
+
+    snap = res.snapshots[len(res.snapshots) // 2:].reshape(-1, init.shape[1], 3)
+    e_chain = np.asarray(
+        batched_potential_energy(system, jnp.asarray(snap[:2000]))
+    ) / float(kbT())
     out = {
         "tag": tag,
         "init": "spread" if spread_init else "single-state",
         "md_steps": md_steps,
         "reject_all": reject_all,
+        "temperature": args.temperature,
         "walkers": int(init.shape[0]),
         "proposals": res.num_proposals,
         "acceptance": res.acceptance_rate,
         "proposals_per_sec_wall": res.num_proposals / dt,
         "rama_sym_kl": kl,
+        "energy_overlap_vs_md": None,  # filled below
         "K_trace_head": list(res.K_trace[:12]),
         "K_final": res.K_trace[-1] if res.K_trace else None,
         "wall_s": dt,
     }
+    out["energy_overlap_vs_md"] = energy_histogram_overlap(
+        args._e_md, e_chain, bins=40
+    )
     print(f"[{tag}] KL {kl:.2f} acc {res.acceptance_rate:.4f} "
           f"{out['proposals_per_sec_wall']:.0f} prop/s "
           f"({res.num_proposals} proposals, {dt:.0f}s)", flush=True)
@@ -144,6 +159,10 @@ def main():
     ap.add_argument("--seed", type=int, default=13)
     ap.add_argument("--log-every", type=int, default=8)
     ap.add_argument("--out", default="runs/report_r3")
+    ap.add_argument("--temperature", type=float, default=1.0,
+                    help="proposal temperature (exactly tempered MH; "
+                         "flow.conditional_sample_with_logp)")
+    ap.add_argument("--veloc-temperature", type=float, default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -153,13 +172,25 @@ def main():
     md = np.load(args.data)
     md_flat = md["coords"].reshape(-1, V, 3)
     md_hist = ramachandran_histogram(md_flat[::4], topo, bins=18)
+    from timewarp_tpu.physics.energy import batched_potential_energy
+
+    args._e_md = np.asarray(
+        batched_potential_energy(system, jnp.asarray(md_flat[:: max(len(md_flat) // 2000, 1)][:2000]))
+    ) / float(kbT())
 
     model = build_ad_model(args)
     with open(args.params, "rb") as f:
         params = jax.device_put(pickle.load(f))
     atom_types = jnp.asarray(topo.atom_types)[None]
     mask = jnp.zeros((1, V), bool)
-    fns = (*make_flow_proposal(model, atom_types, mask), make_amber_energy(system))
+    fns = (
+        *make_flow_proposal(
+            model, atom_types, mask,
+            temperature=args.temperature,
+            veloc_temperature=args.veloc_temperature,
+        ),
+        make_amber_energy(system),
+    )
 
     W = args.walkers
     single_init = jnp.tile(jnp.asarray(md_flat[0])[None], (W, 1, 1))
