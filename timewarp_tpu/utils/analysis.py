@@ -162,6 +162,32 @@ def ess_per_sample(rho: np.ndarray) -> float:
     return float(1.0 / max(denom, 1.0))
 
 
+def pooled_autocorrelation(series, max_lag: int = None) -> np.ndarray:
+    """Variance-weighted autocorrelation pooled over independent chains:
+    rho(t) = sum_c acov_c(t) / sum_c acov_c(0).
+
+    Averaging per-chain ESS instead is WRONG for multi-walker MD: a walker
+    stuck in one basin has a flat, low-variance TIC series whose own
+    autocorrelation looks like white noise (apparent ESS ~1), and the mean
+    is dominated by exactly the walkers that mixed least. Pooling
+    autocovariances weights each chain by the variance it actually
+    explored."""
+    series = [np.asarray(s, dtype=np.float64).ravel() for s in series]
+    mean = np.mean(np.concatenate(series))
+    n = min(len(s) for s in series)
+    acov = np.zeros(n)
+    for s in series:
+        x = s - mean
+        m = len(x)
+        nfft = 1 << (2 * m - 1).bit_length()
+        f = np.fft.rfft(x, nfft)
+        acov[: min(m, n)] += np.fft.irfft(f * np.conj(f))[: min(m, n)] / m
+    if acov[0] <= 0:
+        return np.zeros(n)
+    rho = acov / acov[0]
+    return rho[:max_lag] if max_lag else rho
+
+
 def tic_coverage_gap(tics_ref: np.ndarray, tics_model: np.ndarray, stride: int = 10) -> float:
     """Max over reference TIC points of the min distance to any model point,
     in per-axis-normalized TIC(0,1) space -- the notebook's missing-state

@@ -32,6 +32,11 @@ import jax
 
 if "--cpu" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
+if "--f32" in sys.argv:
+    # TPU matmuls default to bf16. Densities (NLL) were A/B'd insensitive
+    # (round 3), but SAMPLE bond/angle energies are pm-scale-sensitive to
+    # matmul noise in the reverse pass -- this flag isolates that.
+    jax.config.update("jax_default_matmul_precision", "float32")
 import jax.numpy as jnp
 import numpy as np
 
@@ -101,6 +106,8 @@ def main():
     ap.add_argument("--ff", type=int, default=2048)
     ap.add_argument("--coupling", type=int, default=8)
     ap.add_argument("--enc-layers", type=int, default=3)
+    ap.add_argument("--f32", action="store_true",
+                    help="force float32 matmul precision")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the TPU tunnel is single-client)")
     ap.add_argument("--temperature", type=float, default=1.0,

@@ -52,6 +52,7 @@ from timewarp_tpu.utils.analysis import (
     TICAModel,
     autocorrelation,
     ess_per_sample,
+    pooled_autocorrelation,
     tic_coverage_gap,
     tica_features_full,
 )
@@ -100,10 +101,13 @@ def main():
     tics_md = [model_tica.transform(f) for f in feats]
     tics_md_all = np.concatenate(tics_md)
 
-    # MD ESS fraction: mean over walkers (each walker is one chain).
-    ess_md0 = float(np.mean([tic_ess(t, 0) for t in tics_md]))
-    ess_md1 = float(np.mean([tic_ess(t, 1) for t in tics_md]))
-    print(f"MD ESS/sample: tic0 {ess_md0:.3e} tic1 {ess_md1:.3e}", flush=True)
+    # MD ESS fraction: variance-weighted pooled autocorrelation over the
+    # walkers (mean-of-per-walker-ESS is dominated by stuck walkers whose
+    # flat TIC series fakes white noise -- pooled_autocorrelation docstring).
+    ess_md0 = ess_per_sample(pooled_autocorrelation([t[:, 0] for t in tics_md]))
+    ess_md1 = ess_per_sample(pooled_autocorrelation([t[:, 1] for t in tics_md]))
+    print(f"MD ESS/sample (pooled): tic0 {ess_md0:.3e} tic1 {ess_md1:.3e}",
+          flush=True)
 
     # --- fresh timed MD-rate probe (per-chain frames/s on this chip) ---
     Wm = args.md_walkers
