@@ -109,7 +109,7 @@ def compute_num_proposal_steps(
 
 def make_flow_proposal(
     model, atom_types, masked_elements, random_velocs=True, temperature=1.0,
-    veloc_temperature=None,
+    veloc_temperature=None, recalibration=None,
 ):
     """Adapt a ConditionalFlowDensity into (propose_fn, reverse_logp_fn)
     over unpadded single-molecule states.
@@ -120,6 +120,11 @@ def make_flow_proposal(
     proposals). Both the forward sample logp and the reverse logp are
     evaluated under the SAME tempered density, so MH remains exact for any
     tau (flow.py conditional_sample_with_logp docstring).
+
+    ``recalibration``: optional (ZMatrix, RecalAffine) pair
+    (models/recalibration.py). Proposals become y = Psi(y_flow) with the
+    exact pushforward density used in BOTH directions, so MH stays exact:
+    log q'(y|x) = log q_flow(Psi^{-1}(y)|x) - log|det J_Psi|.
     """
 
     def propose_fn(params, rng, x_coords, x_velocs, K):
@@ -153,7 +158,30 @@ def make_flow_proposal(
             veloc_temperature=veloc_temperature,
         )  # [K]
 
-    return propose_fn, reverse_logp_fn
+    if recalibration is None:
+        return propose_fn, reverse_logp_fn
+
+    from timewarp_tpu.models.recalibration import apply_recalibration
+
+    zm, affine = recalibration
+    v_scale = jnp.asarray(affine.v_scale, jnp.float32)
+    n_dof = 3.0 * zm.num_atoms
+    base_propose, base_reverse = propose_fn, reverse_logp_fn
+
+    def propose_recal(params, rng, x_coords, x_velocs, K):
+        yc0, yv0, logp = base_propose(params, rng, x_coords, x_velocs, K)
+        yc, ld = jax.vmap(lambda c: apply_recalibration(c, zm, affine))(yc0)
+        yv = v_scale * yv0
+        return yc, yv, logp - ld - n_dof * jnp.log(v_scale)
+
+    def reverse_recal(params, y_coords, y_velocs, x_coords, x_velocs):
+        # log q'(x, xv | y, yv) = log q_flow(Psi^{-1}(x), xv/s_v | y, yv)
+        #                         - log|det J_Psi(Psi^{-1}(x))| - 3V log s_v
+        x0, ld = apply_recalibration(x_coords, zm, affine, inverse=True)
+        lp = base_reverse(params, y_coords, y_velocs, x0, x_velocs / v_scale)
+        return lp - ld - n_dof * jnp.log(v_scale)
+
+    return propose_recal, reverse_recal
 
 
 def make_amber_energy(system, temperature: float = 310.0):
