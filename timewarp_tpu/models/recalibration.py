@@ -204,7 +204,12 @@ def apply_recalibration(
         ai = int(zm.a[k])
         d = coords[i] - coords[ai]
         r_in = _norm(d)
-        r_out = _edit(r_in, rs[k], rh[k], inverse)
+        # Floor the edited radius: a garbage input far outside the fitted
+        # range can drive scale*r + shift negative, which would NaN the
+        # log-Jacobian. The floor is only reachable by proposals whose
+        # energies are astronomically high (they are rejected regardless),
+        # so MH exactness is unaffected in the physical regime.
+        r_out = jnp.maximum(_edit(r_in, rs[k], rh[k], inverse), 1e-3)
 
         if k == 1:
             u = d / r_in

@@ -114,6 +114,10 @@ def main():
                     help="proposal temperature (latent prior scale multiplier; "
                          "MH stays exact, see flow.conditional_sample_with_logp)")
     ap.add_argument("--veloc-temperature", type=float, default=None)
+    ap.add_argument("--recal", type=str, default=None,
+                    help="path to a fitted internal-coordinate recalibration "
+                         "(tools/fit_recalibration.py); proposals are pushed "
+                         "through it with the exact density correction")
     ap.add_argument("--temp-sweep", type=str, default=None,
                     help="comma-separated taus: report proposal acceptance at "
                          "each temperature from both basin representatives")
@@ -142,9 +146,16 @@ def main():
 
     atom_types1 = jnp.asarray(topo.atom_types[None])
     mask1 = jnp.zeros((1, V), bool)
+    recal = None
+    if args.recal:
+        from timewarp_tpu.models.recalibration import load_recalibration
+
+        recal = load_recalibration(args.recal)
+        print(f"recalibration: {args.recal} (v_scale {recal[1].v_scale:.4f})")
     propose_fn, reverse_logp_fn = make_flow_proposal(
         model, atom_types1, mask1,
         temperature=args.temperature, veloc_temperature=args.veloc_temperature,
+        recalibration=recal,
     )
     energy_fn = make_amber_energy(system)
     masses = jnp.asarray(system.masses)

@@ -163,6 +163,9 @@ def main():
                     help="proposal temperature (exactly tempered MH; "
                          "flow.conditional_sample_with_logp)")
     ap.add_argument("--veloc-temperature", type=float, default=None)
+    ap.add_argument("--recal", type=str, default=None,
+                    help="fitted internal-coordinate recalibration pickle "
+                         "(tools/fit_recalibration.py)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -183,11 +186,17 @@ def main():
         params = jax.device_put(pickle.load(f))
     atom_types = jnp.asarray(topo.atom_types)[None]
     mask = jnp.zeros((1, V), bool)
+    recal = None
+    if args.recal:
+        from timewarp_tpu.models.recalibration import load_recalibration
+
+        recal = load_recalibration(args.recal)
     fns = (
         *make_flow_proposal(
             model, atom_types, mask,
             temperature=args.temperature,
             veloc_temperature=args.veloc_temperature,
+            recalibration=recal,
         ),
         make_amber_energy(system),
     )
@@ -198,7 +207,7 @@ def main():
     spread_init = jnp.asarray(md_flat[::stride][:W])
 
     os.makedirs(args.out, exist_ok=True)
-    results = {"checkpoint": args.params, "data": args.data}
+    results = {"checkpoint": args.params, "data": args.data, "recal": args.recal}
 
     # 1. The target: flow-only, single-state init.
     results["flow_only"], res_fo = run_ensemble(
