@@ -338,6 +338,31 @@ def fit_recalibration(
     )
 
 
+def wrap_proposal(propose_fn, reverse_logp_fn, zm: ZMatrix, affine: RecalAffine):
+    """Compose a (propose_fn, reverse_logp_fn) pair (sampling/mh.py
+    conventions, unpadded [V, 3] states) with the recalibration, keeping the
+    MH kernel exact: the proposal becomes y = Psi(y_flow), and both density
+    directions use the exact pushforward
+    log q'(y|x) = log q_flow(Psi^{-1}(y)|x) - log|det J_Psi(Psi^{-1}(y))|."""
+    v_scale = jnp.asarray(affine.v_scale, jnp.float32)
+    n_dof = 3.0 * zm.num_atoms
+
+    def propose_recal(params, rng, x_coords, x_velocs, K):
+        yc0, yv0, logp = propose_fn(params, rng, x_coords, x_velocs, K)
+        yc, ld = jax.vmap(lambda c: apply_recalibration(c, zm, affine))(yc0)
+        yv = v_scale * yv0
+        return yc, yv, logp - ld - n_dof * jnp.log(v_scale)
+
+    def reverse_recal(params, y_coords, y_velocs, x_coords, x_velocs):
+        # log q'(x, xv | y, yv) = log q_flow(Psi^{-1}(x), xv/s_v | y, yv)
+        #                         - log|det J_Psi(Psi^{-1}(x))| - 3V log s_v
+        x0, ld = apply_recalibration(x_coords, zm, affine, inverse=True)
+        lp = reverse_logp_fn(params, y_coords, y_velocs, x0, x_velocs / v_scale)
+        return lp - ld - n_dof * jnp.log(v_scale)
+
+    return propose_recal, reverse_recal
+
+
 def save_recalibration(path: str, zm: ZMatrix, affine: RecalAffine) -> None:
     with open(path, "wb") as f:
         pickle.dump(

@@ -161,27 +161,10 @@ def make_flow_proposal(
     if recalibration is None:
         return propose_fn, reverse_logp_fn
 
-    from timewarp_tpu.models.recalibration import apply_recalibration
+    from timewarp_tpu.models.recalibration import wrap_proposal
 
     zm, affine = recalibration
-    v_scale = jnp.asarray(affine.v_scale, jnp.float32)
-    n_dof = 3.0 * zm.num_atoms
-    base_propose, base_reverse = propose_fn, reverse_logp_fn
-
-    def propose_recal(params, rng, x_coords, x_velocs, K):
-        yc0, yv0, logp = base_propose(params, rng, x_coords, x_velocs, K)
-        yc, ld = jax.vmap(lambda c: apply_recalibration(c, zm, affine))(yc0)
-        yv = v_scale * yv0
-        return yc, yv, logp - ld - n_dof * jnp.log(v_scale)
-
-    def reverse_recal(params, y_coords, y_velocs, x_coords, x_velocs):
-        # log q'(x, xv | y, yv) = log q_flow(Psi^{-1}(x), xv/s_v | y, yv)
-        #                         - log|det J_Psi(Psi^{-1}(x))| - 3V log s_v
-        x0, ld = apply_recalibration(x_coords, zm, affine, inverse=True)
-        lp = base_reverse(params, y_coords, y_velocs, x0, x_velocs / v_scale)
-        return lp - ld - n_dof * jnp.log(v_scale)
-
-    return propose_recal, reverse_recal
+    return wrap_proposal(propose_fn, reverse_logp_fn, zm, affine)
 
 
 def make_amber_energy(system, temperature: float = 310.0):

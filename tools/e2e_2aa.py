@@ -209,6 +209,10 @@ def main():
     ap.add_argument("--load-params", default=None)
     ap.add_argument("--report", default=None)
     ap.add_argument("--gen-only", action="store_true")
+    ap.add_argument("--no-holdout-recal", dest="holdout_recal",
+                    action="store_false", default=True,
+                    help="disable per-peptide self-calibrated proposal "
+                         "recalibration in the held-out eval")
     ap.add_argument("--eval-only", action="store_true",
                     help="skip training (use with --load-params)")
     ap.add_argument("--seed", type=int, default=7)
@@ -482,6 +486,72 @@ def main():
                       jnp.pad(xv, ((0, _vp - _V), (0, 0))))
 
         td = m["td"]
+        recal_info = None
+        if args.holdout_recal:
+            # Per-peptide SELF-calibration (models/recalibration.py): a short
+            # on-device MD segment from the eval init state supplies the
+            # stiff bond/angle marginal statistics -- it cannot cross basins
+            # in ~15k steps, so no conformational information leaks from the
+            # holdout trajectories; model samples are drawn at states of the
+            # same segment. The recalibrated proposal density is exact in
+            # both MH directions (wrap_proposal).
+            from timewarp_tpu.models.recalibration import (
+                build_zmatrix,
+                fit_recalibration,
+                wrap_proposal,
+            )
+
+            cfg_md = langevin_config(args.preset)
+            x0 = jnp.asarray(td.coord_features[0])
+            v0 = maxwell_boltzmann_velocities(
+                system, jax.random.PRNGKey(23), cfg_md.temperature
+            )
+            cb, vb = jax.jit(
+                lambda c, v, k: run_segment(
+                    system, c, v, k, num_steps=2000, config=cfg_md
+                )
+            )(x0, v0, jax.random.PRNGKey(24))
+            calc, _ = jax.jit(
+                lambda c, v, k: sample_trajectory(
+                    system, c, v, k, num_frames=256, steps_per_frame=50,
+                    config=cfg_md,
+                )
+            )(cb, vb, jax.random.PRNGKey(25))
+            data_coords = np.asarray(calc)
+            samp_states = data_coords[:: max(len(data_coords) // 16, 1)][:16]
+            key = jax.random.PRNGKey(26)
+            draw = jax.jit(
+                lambda xc, xv, k: pad_propose(params, k, xc, xv, 16)[:2]
+            )
+            ys, yvs = [], []
+            for s in samp_states:
+                key, k1, k2 = jax.random.split(key, 3)
+                xv = jax.random.normal(k2, (V, 3))
+                yc, yv = draw(jnp.asarray(s), xv, k1)
+                ys.append(np.asarray(yc))
+                yvs.append(np.asarray(yv))
+            model_coords = np.concatenate(ys)
+            model_velocs = np.concatenate(yvs)
+            zmr = build_zmatrix(
+                np.asarray(system.bond_idx), V, np.asarray(x0)
+            )
+            aff = fit_recalibration(
+                zmr, model_coords, data_coords,
+                model_velocs=model_velocs,
+                data_velocs=np.random.default_rng(0)
+                .standard_normal(model_velocs.shape)
+                .astype(np.float32),
+            )
+            pad_propose, pad_reverse = wrap_proposal(
+                pad_propose, pad_reverse, zmr, aff
+            )
+            recal_info = {
+                "v_scale": float(aff.v_scale),
+                "r_scale_median": float(np.median(aff.r_scale[1:])),
+                "th_scale_median": float(np.median(aff.th_scale[2:])),
+            }
+            print(f"  [{seq}] self-recal: {recal_info}", flush=True)
+
         W = args.eval_walkers
         # Reference-explorer-style init: ONE dataset state for all walkers
         # (exploration.py:209,225-232) -- no basin-spread head start.
@@ -503,6 +573,7 @@ def main():
         report["holdout"][seq] = {
             "num_atoms": V,
             "v_pad": vp,
+            "recal": recal_info,
             "acceptance": res.acceptance_rate,
             "proposals": res.num_proposals,
             "proposals_per_sec": res.num_proposals / dt,
