@@ -307,3 +307,171 @@ def test_make_flow_proposal_recal_wrapper_identity(ad_setup):
     r0 = base_r(params, yc0, yv0, coords0, xv)
     r1 = rec_r(params, yc0, yv0, coords0, xv)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=0.2)
+
+
+def test_conditional_round_trip_logdet_and_com(ad_setup):
+    """Conditional affine: bijectivity, forward-logdet symmetry, autodiff
+    Jacobian parity (which also validates that the COM-restoring
+    translation leaves the log-det unchanged), and COM preservation."""
+    _, coords, zm = ad_setup
+    rng = np.random.default_rng(5)
+    V = zm.num_atoms
+    base = _random_affine(zm, rng, strength=0.1)
+    affine = RecalAffine(
+        r_scale=base.r_scale,
+        r_shift=base.r_shift,
+        th_scale=base.th_scale,
+        th_shift=base.th_shift,
+        v_scale=1.0,
+        r_shift_cond=0.2 * rng.uniform(-1, 1, V),
+        th_shift_cond=0.1 * rng.uniform(-1, 1, V),
+    )
+    cond_state = coords + 0.01 * jnp.asarray(
+        rng.standard_normal(coords.shape), jnp.float32
+    )
+    cond = extract_internals(cond_state, zm)
+
+    y, ld_fwd = apply_recalibration(coords, zm, affine, cond_internals=cond)
+    # COM preserved exactly (uniform mean, the flow's convention)
+    np.testing.assert_allclose(
+        np.asarray(y.mean(0)), np.asarray(coords.mean(0)), atol=1e-5
+    )
+    x_back, ld_inv = apply_recalibration(
+        y, zm, affine, inverse=True, cond_internals=cond
+    )
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(coords), atol=2e-5)
+    np.testing.assert_allclose(float(ld_fwd), float(ld_inv), atol=1e-3)
+
+    flat = np.asarray(coords).reshape(-1).astype(np.float64)
+
+    def f(v):
+        out, _ = apply_recalibration(
+            v.reshape(-1, 3), zm, affine, cond_internals=cond
+        )
+        return out.reshape(-1)
+
+    with jax.enable_x64(True):
+        J = jax.jacfwd(f)(jnp.asarray(flat))
+        sign, logabsdet = np.linalg.slogdet(np.asarray(J))
+        _, ld = apply_recalibration(
+            jnp.asarray(flat.reshape(-1, 3)), zm, affine, cond_internals=cond
+        )
+    assert sign > 0
+    np.testing.assert_allclose(float(ld), float(logabsdet), atol=1e-3)
+
+
+def test_mh_exact_with_conditional_recalibration():
+    """Tracking-proposal failure mode (round 4): the proposal's internals
+    TRACK the conditioning state with an exaggerated gain and a sharp
+    residual. Unconditional marginal matching cannot fix this; conditional
+    moment matching (fit_conditional_recalibration) must (a) raise
+    acceptance and (b) keep the chain unbiased."""
+    from timewarp_tpu.models.recalibration import fit_conditional_recalibration
+    from timewarp_tpu.models.recalibration import wrap_proposal
+    from timewarp_tpu.sampling.mh import MHConfig, MHState, mh_segment
+
+    V = 4
+    bond_idx = np.array([[0, 1], [1, 2], [2, 3]])
+    r0 = 0.15
+    sig = 0.01
+
+    template = np.array(
+        [[0.0, 0, 0], [r0, 0, 0], [r0, r0, 0], [r0, r0, r0]], np.float32
+    )
+
+    def energy_fn(coords):
+        return 0.5 * ((coords - template) ** 2).sum((-1, -2)) / sig**2
+
+    zm = build_zmatrix(bond_idx, V, template)
+    ti = jax.tree_util.tree_map(np.asarray, extract_internals(jnp.asarray(template), zm))
+
+    # Tracking distortion: internal' = s0*z_int + g*x_int + (1-s0-g)*t_int
+    # (z ~ exact target sample). Conditional mean gain g = 0.9 toward x,
+    # sharp residual s0 = 0.35 -- but the TARGET pairs are iid (gain 0).
+    s0, g = 0.35, 0.9
+    distort = RecalAffine(
+        r_scale=np.full(V, s0),
+        r_shift=(1.0 - s0 - g) * ti["r"],
+        th_scale=np.full(V, s0),
+        th_shift=(1.0 - s0 - g) * ti["theta"],
+        v_scale=1.0,
+        r_shift_cond=np.full(V, g),
+        th_shift_cond=np.full(V, g),
+    )
+
+    def base_logp(z):
+        return -0.5 * ((z - template) ** 2).sum((-1, -2)) / sig**2 - 3 * V * jnp.log(
+            sig
+        )
+
+    def propose(params, rng, x_coords, x_velocs, K):
+        kc, kv = jax.random.split(rng)
+        cond = extract_internals(x_coords, zm)
+        z = template[None] + sig * jax.random.normal(kc, (K, V, 3))
+        y, ld = jax.vmap(
+            lambda c: apply_recalibration(c, zm, distort, cond_internals=cond)
+        )(z)
+        yv = jax.random.normal(kv, (K, V, 3))
+        logp = base_logp(z) - ld - 0.5 * (yv**2).sum((-1, -2))
+        return y, yv, logp
+
+    def reverse(params, y_coords, y_velocs, x_coords, x_velocs):
+        conds = jax.vmap(lambda y: extract_internals(y, zm))(y_coords)
+        xc = x_coords if x_coords.ndim == 3 else jnp.broadcast_to(
+            x_coords, y_coords.shape
+        )
+        z, ld = jax.vmap(
+            lambda c, cr, ct: apply_recalibration(
+                c, zm, distort, inverse=True, cond_internals={"r": cr, "theta": ct}
+            )
+        )(xc, conds["r"], conds["theta"])
+        xv = x_velocs if x_velocs.ndim == 3 else jnp.broadcast_to(
+            x_velocs, y_velocs.shape
+        )
+        return base_logp(z) - ld - 0.5 * (xv**2).sum((-1, -2))
+
+    # Fit data: model (cond, sample) pairs + iid target pairs.
+    rng = np.random.default_rng(9)
+    n = 2048
+    cond_states = template[None] + sig * rng.standard_normal((n, V, 3))
+    z_fit = template[None] + sig * rng.standard_normal((n, V, 3))
+    ex = jax.jit(jax.vmap(lambda c, cc: apply_recalibration(
+        c, zm, distort, cond_internals=extract_internals(cc, zm))[0]))
+    model_samples = np.asarray(ex(jnp.asarray(z_fit), jnp.asarray(cond_states)))
+    data_x = template[None] + sig * rng.standard_normal((n, V, 3))
+    data_y = template[None] + sig * rng.standard_normal((n, V, 3))
+    affine = fit_conditional_recalibration(
+        zm, cond_states, model_samples, data_x, data_y
+    )
+
+    masses = jnp.ones((V,))
+    cfg = MHConfig(num_proposal_steps=4, random_velocs=True, resample_velocs=True)
+
+    def run_chain(recal, seed, iters=600):
+        p_fn, r_fn = (propose, reverse) if recal is None else wrap_proposal(
+            propose, reverse, zm, recal
+        )
+        state = MHState(
+            coords=jnp.asarray(template),
+            velocs=jnp.zeros((V, 3)),
+            e_pot=energy_fn(jnp.asarray(template)),
+        )
+        state, out = mh_segment(
+            None, state, jax.random.PRNGKey(seed),
+            p_fn, r_fn, energy_fn, masses, 1.0,
+            num_iters=iters, K=4, config=cfg,
+        )
+        acc = float(np.asarray(out.accepted).mean())
+        chain = np.asarray(out.coords)
+        d = chain[:, 1:] - chain[:, :-1]
+        r = np.sqrt((d * d).sum(-1))
+        return acc, r[iters // 3:]
+
+    acc_plain, r_plain = run_chain(None, seed=21)
+    acc_recal, r_recal = run_chain(affine, seed=22)
+
+    assert acc_recal > 1.5 * acc_plain, (acc_recal, acc_plain)
+    sig_eff = np.sqrt(2.0) * sig
+    r_mean_exact = r0 + sig_eff**2 / r0
+    np.testing.assert_allclose(r_recal.mean(), r_mean_exact, atol=3e-3)
+    np.testing.assert_allclose(r_recal.std(), sig_eff, rtol=0.35)

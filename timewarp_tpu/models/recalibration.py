@@ -69,9 +69,22 @@ class ZMatrix:
 class RecalAffine:
     """Per-coordinate affine edits, aligned with ZMatrix slots.
 
-    r' = r_scale[k] * r + r_shift[k]   for ordered slot k >= 1
-    th' = th_scale[k] * th + th_shift[k] for ordered slot k >= 2
-    v' = v_scale * v                    (global velocity-channel scale)
+    r' = r_scale[k] * r + r_shift[k] + r_shift_cond[k] * r_cond[k]
+    th' analogous; v' = v_scale * v (global velocity-channel scale).
+
+    The optional ``*_shift_cond`` terms make the shift affine in the
+    CONDITIONING state's internals (r_cond = z-matrix internals of the MH
+    state the proposal is drawn from): conditional moment matching. The
+    round-4 finding that motivates them: the flow's conditionals are sharp
+    and track the conditioning state's vibrational coordinates with an
+    exaggerated gain, so the correct marginal fix is a contraction AROUND
+    THE TRACKING LINE (r' = s r + (beta_d - s beta_m) r_x + ...), not
+    around the population mean -- an unconditional contraction moves the
+    reverse-density evaluation point off the model's tracking manifold and
+    the MH reverse term collapses by hundreds of nats.
+
+    State-dependent bijections keep MH exact: the forward density uses
+    Psi_x, the reverse density Psi_y -- both tractable.
     """
 
     r_scale: np.ndarray  # [V]
@@ -79,6 +92,12 @@ class RecalAffine:
     th_scale: np.ndarray  # [V]
     th_shift: np.ndarray  # [V]
     v_scale: float = 1.0
+    r_shift_cond: Optional[np.ndarray] = None  # [V]
+    th_shift_cond: Optional[np.ndarray] = None  # [V]
+
+    @property
+    def conditional(self) -> bool:
+        return self.r_shift_cond is not None or self.th_shift_cond is not None
 
     @staticmethod
     def identity(num_atoms: int) -> "RecalAffine":
@@ -182,8 +201,13 @@ def apply_recalibration(
     zm: ZMatrix,
     affine: RecalAffine,
     inverse: bool = False,
+    cond_internals: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Map one conformation [V, 3] through the recalibration (or back).
+
+    ``cond_internals``: z-matrix internals of the CONDITIONING state
+    (extract_internals output), required when affine.conditional -- the
+    per-coordinate shift becomes shift + shift_cond * cond_internal.
 
     Returns (coords_out [V, 3], logdet) where logdet is ALWAYS the
     log |det J| of the FORWARD map, evaluated at the unprimed point (the
@@ -194,6 +218,19 @@ def apply_recalibration(
     rh = jnp.asarray(affine.r_shift, coords.dtype)
     ts = jnp.asarray(affine.th_scale, coords.dtype)
     th_shift = jnp.asarray(affine.th_shift, coords.dtype)
+    if affine.conditional:
+        if cond_internals is None:
+            raise ValueError(
+                "affine has conditional shift terms; pass cond_internals="
+                "extract_internals(conditioning_state, zm)"
+            )
+        if affine.r_shift_cond is not None:
+            rh = rh + jnp.asarray(affine.r_shift_cond, coords.dtype) * cond_internals["r"]
+        if affine.th_shift_cond is not None:
+            th_shift = th_shift + (
+                jnp.asarray(affine.th_shift_cond, coords.dtype)
+                * cond_internals["theta"]
+            )
 
     out = coords
     logdet = jnp.zeros((), coords.dtype)
@@ -271,6 +308,16 @@ def apply_recalibration(
                 + jnp.log(jnp.sin(th_primed))
                 - jnp.log(jnp.sin(th_plain))
             )
+    # COM preservation: the tree rebuild is anchored at the root, so the
+    # raw map shifts the uniform-mean COM by O(edit) -- and the training
+    # data has EXACTLY zero COM drift (OpenMM CMMotionRemover), which the
+    # flow learns as a near-delta density factor on the COM displacement
+    # (round-4 measurement: a 5 pm COM perturbation costs ~200 nats of
+    # reverse density). Restoring the input's COM removes that. Because
+    # the walk is translation-equivariant, the map is block-diagonal on
+    # the (COM, centered) split and this translation leaves the
+    # log-Jacobian unchanged.
+    out = out + (coords.mean(-2, keepdims=True) - out.mean(-2, keepdims=True))
     return out, logdet
 
 
@@ -301,17 +348,27 @@ def fit_recalibration(
     data_velocs: Optional[np.ndarray] = None,
     scale_clip: Tuple[float, float] = (0.25, 4.0),
     calibrate_angles: bool = True,
+    scale_power: float = 1.0,
 ) -> RecalAffine:
     """Per-coordinate moment matching: affine such that the model-sample
     marginal mean/std of each z-matrix bond (and angle) maps onto the
-    target statistics."""
+    target statistics.
+
+    ``scale_power`` interpolates the variance correction: 1.0 = full
+    moment matching, 0.0 = SHIFT-ONLY (fix the systematic mean bias,
+    leave deviations untouched). Shift-only is the right mode when the
+    flow's conditionals are sharp and track the conditioning state's
+    vibrational phase (round-4 finding: full scaling moves the reverse
+    density evaluation point ~5 conditional-sigma off the model's
+    tracking manifold and the MH reverse term collapses by hundreds of
+    nats, while the mean bias is state-independent and safe to remove)."""
     ex = jax.jit(jax.vmap(lambda c: extract_internals(c, zm)))
     mi = jax.device_get(ex(jnp.asarray(model_coords)))
     di = jax.device_get(ex(jnp.asarray(data_coords)))
 
     def affine_1d(m, d):
         ms, ds = m.std(0) + 1e-12, d.std(0) + 1e-12
-        scale = np.clip(ds / ms, *scale_clip)
+        scale = np.clip(ds / ms, *scale_clip) ** scale_power
         shift = d.mean(0) - scale * m.mean(0)
         return scale, shift
 
@@ -338,25 +395,120 @@ def fit_recalibration(
     )
 
 
+def fit_conditional_recalibration(
+    zm: ZMatrix,
+    model_cond_coords: np.ndarray,  # [N, V, 3] conditioning state per sample
+    model_coords: np.ndarray,  # [N, V, 3] flow sample drawn at that state
+    data_x_coords: np.ndarray,  # [M, V, 3] MD pair sources
+    data_y_coords: np.ndarray,  # [M, V, 3] MD pair targets (one step width on)
+    model_velocs: Optional[np.ndarray] = None,
+    data_velocs: Optional[np.ndarray] = None,
+    scale_clip: Tuple[float, float] = (0.25, 4.0),
+    calibrate_angles: bool = True,
+    scale_power: float = 1.0,
+) -> RecalAffine:
+    """Conditional moment matching: per z-matrix coordinate, regress the
+    proposal internal on the conditioning internal (model: beta_m, a_m,
+    resid_m; data pairs: beta_d, a_d, resid_d) and build the map
+
+        r' = s r + B r_cond + A,
+        s = (resid_d / resid_m) ** scale_power,
+        B = beta_d - s beta_m,   A = a_d - s a_m,
+
+    so the composed proposal's conditional slope/intercept/residual match
+    the data's. Unlike the unconditional fit, the contraction happens
+    around the model's tracking line, so the reverse-density evaluation
+    point stays on the model's conditional manifold (see RecalAffine)."""
+    ex = jax.jit(jax.vmap(lambda c: extract_internals(c, zm)))
+    mc = jax.device_get(ex(jnp.asarray(model_cond_coords)))
+    mi = jax.device_get(ex(jnp.asarray(model_coords)))
+    dx = jax.device_get(ex(jnp.asarray(data_x_coords)))
+    dy = jax.device_get(ex(jnp.asarray(data_y_coords)))
+
+    def cond_affine_1d(c_m, y_m, c_d, y_d):
+        def reg(c, y):
+            cm, ym = c.mean(0), y.mean(0)
+            cv = ((c - cm) ** 2).mean(0) + 1e-16
+            beta = ((c - cm) * (y - ym)).mean(0) / cv
+            a = ym - beta * cm
+            resid = (y - beta * c - a).std(0) + 1e-12
+            return beta, a, resid
+
+        b_m, a_m, r_m = reg(c_m, y_m)
+        b_d, a_d, r_d = reg(c_d, y_d)
+        s = np.clip(r_d / r_m, *scale_clip) ** scale_power
+        B = b_d - s * b_m
+        A = a_d - s * a_m
+        return s, A, B
+
+    r_scale, r_shift, r_shift_cond = cond_affine_1d(
+        mc["r"], mi["r"], dx["r"], dy["r"]
+    )
+    r_scale[0], r_shift[0], r_shift_cond[0] = 1.0, 0.0, 0.0
+    if calibrate_angles:
+        th_scale, th_shift, th_shift_cond = cond_affine_1d(
+            mc["theta"], mi["theta"], dx["theta"], dy["theta"]
+        )
+        th_scale[:2], th_shift[:2], th_shift_cond[:2] = 1.0, 0.0, 0.0
+    else:
+        th_scale = np.ones_like(r_scale)
+        th_shift = np.zeros_like(r_shift)
+        th_shift_cond = np.zeros_like(r_shift)
+
+    v_scale = 1.0
+    if model_velocs is not None and data_velocs is not None:
+        v_scale = float(
+            (np.asarray(data_velocs).std() + 1e-12)
+            / (np.asarray(model_velocs).std() + 1e-12)
+        )
+    return RecalAffine(
+        r_scale=r_scale,
+        r_shift=r_shift,
+        th_scale=th_scale,
+        th_shift=th_shift,
+        v_scale=v_scale,
+        r_shift_cond=r_shift_cond,
+        th_shift_cond=th_shift_cond,
+    )
+
+
 def wrap_proposal(propose_fn, reverse_logp_fn, zm: ZMatrix, affine: RecalAffine):
     """Compose a (propose_fn, reverse_logp_fn) pair (sampling/mh.py
     conventions, unpadded [V, 3] states) with the recalibration, keeping the
-    MH kernel exact: the proposal becomes y = Psi(y_flow), and both density
+    MH kernel exact: the proposal becomes y = Psi_x(y_flow), and both density
     directions use the exact pushforward
-    log q'(y|x) = log q_flow(Psi^{-1}(y)|x) - log|det J_Psi(Psi^{-1}(y))|."""
+    log q'(y|x) = log q_flow(Psi_x^{-1}(y)|x) - log|det J_Psi_x(...)|.
+
+    For a conditional affine, the forward map conditions on x and the
+    reverse density on each proposal y_k (Psi_y) -- a state-dependent
+    bijection is still an ordinary Markov kernel with tractable density.
+    NOTE: the reverse path then hands reverse_logp_fn a PER-PROPOSAL
+    x batch [K, V, 3]; make_flow_proposal's reverse supports both shapes."""
     v_scale = jnp.asarray(affine.v_scale, jnp.float32)
     n_dof = 3.0 * zm.num_atoms
 
     def propose_recal(params, rng, x_coords, x_velocs, K):
         yc0, yv0, logp = propose_fn(params, rng, x_coords, x_velocs, K)
-        yc, ld = jax.vmap(lambda c: apply_recalibration(c, zm, affine))(yc0)
+        cond = extract_internals(x_coords, zm) if affine.conditional else None
+        yc, ld = jax.vmap(
+            lambda c: apply_recalibration(c, zm, affine, cond_internals=cond)
+        )(yc0)
         yv = v_scale * yv0
         return yc, yv, logp - ld - n_dof * jnp.log(v_scale)
 
     def reverse_recal(params, y_coords, y_velocs, x_coords, x_velocs):
-        # log q'(x, xv | y, yv) = log q_flow(Psi^{-1}(x), xv/s_v | y, yv)
-        #                         - log|det J_Psi(Psi^{-1}(x))| - 3V log s_v
-        x0, ld = apply_recalibration(x_coords, zm, affine, inverse=True)
+        # log q'(x, xv | y, yv) = log q_flow(Psi_y^{-1}(x), xv/s_v | y, yv)
+        #                         - log|det J_Psi_y(Psi_y^{-1}(x))| - 3V log s_v
+        if affine.conditional:
+            conds = jax.vmap(lambda y: extract_internals(y, zm))(y_coords)
+            x0, ld = jax.vmap(
+                lambda cd_r, cd_t: apply_recalibration(
+                    x_coords, zm, affine, inverse=True,
+                    cond_internals={"r": cd_r, "theta": cd_t},
+                )
+            )(conds["r"], conds["theta"])  # x0: [K, V, 3], ld: [K]
+        else:
+            x0, ld = apply_recalibration(x_coords, zm, affine, inverse=True)
         lp = reverse_logp_fn(params, y_coords, y_velocs, x0, x_velocs / v_scale)
         return lp - ld - n_dof * jnp.log(v_scale)
 

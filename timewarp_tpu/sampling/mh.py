@@ -145,13 +145,17 @@ def make_flow_proposal(
     def reverse_logp_fn(params, y_coords, y_velocs, x_coords, x_velocs):
         K = y_coords.shape[0]
         flip = 1.0 if random_velocs else -1.0
+        # x may be a single state [V, 3] or per-proposal [K, V, 3] (the
+        # conditional recalibration maps x through Psi_y per proposal).
+        xc = x_coords if x_coords.ndim == 3 else jnp.tile(x_coords[None], (K, 1, 1))
+        xv = x_velocs if x_velocs.ndim == 3 else jnp.tile(x_velocs[None], (K, 1, 1))
         return model.apply(
             params,
             jnp.tile(atom_types, (K, 1)),
             y_coords,
             flip * y_velocs,
-            jnp.tile(x_coords[None], (K, 1, 1)),
-            flip * jnp.tile(x_velocs[None], (K, 1, 1)),
+            xc,
+            flip * xv,
             jnp.tile(masked_elements, (K, 1)),
             method="log_likelihood",
             temperature=temperature,

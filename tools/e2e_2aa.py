@@ -481,9 +481,11 @@ def main():
 
         def pad_reverse(params, yc, yv, xc, xv, _r=reverse_logp_fn, _V=V, _vp=vp):
             p3 = ((0, 0), (0, _vp - _V), (0, 0))
+            p2 = ((0, _vp - _V), (0, 0))
+            # x may be [V, 3] or per-proposal [K, V, 3] (conditional recal)
             return _r(params, jnp.pad(yc, p3), jnp.pad(yv, p3),
-                      jnp.pad(xc, ((0, _vp - _V), (0, 0))),
-                      jnp.pad(xv, ((0, _vp - _V), (0, 0))))
+                      jnp.pad(xc, p3 if xc.ndim == 3 else p2),
+                      jnp.pad(xv, p3 if xv.ndim == 3 else p2))
 
         td = m["td"]
         recal_info = None
