@@ -22,6 +22,10 @@ import numpy as np
 
 def main():
     import jax
+
+    force_cpu = os.environ.get("BENCH_FORCE_CPU") == "1"
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_model
@@ -87,7 +91,10 @@ def main():
     kT = float(kbT())
     cfg = MHConfig(num_proposal_steps=64, resample_velocs=True)
 
-    K, iters = 64, 32
+    # CPU fallback uses a tiny segment: compiling the full 32-iteration
+    # scanned MH graph on host XLA takes minutes and the number is only a
+    # liveness signal, not the headline.
+    K, iters = (8, 2) if force_cpu else (64, 32)
     state = MHState(coords=coords0, velocs=velocs0, e_pot=energy_fn(coords0))
 
     def run(state, seed):
@@ -103,7 +110,7 @@ def main():
     state_w, out = run(state, 1)
     jax.block_until_ready(out.p_acc)
 
-    reps = 5
+    reps = 2 if force_cpu else 5
     t0 = time.perf_counter()
     for r in range(reps):
         state_w, out = run(state_w, 2 + r)
@@ -114,7 +121,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "AD-1 full MH proposals/sec/chip (flow + on-device AMBER energy + reverse logp, K=64)",
+                "metric": "AD-1 full MH proposals/sec/chip (flow + on-device "
+                f"AMBER energy + reverse logp, K={K})"
+                + (" [CPU FALLBACK: TPU tunnel unavailable]" if force_cpu else ""),
                 "value": round(proposals_per_sec, 1),
                 "unit": "proposals/s",
                 "vs_baseline": round(proposals_per_sec / 10_000.0, 3),
@@ -124,4 +133,24 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        if os.environ.get("BENCH_FORCE_CPU") != "1":
+            # The axon TPU tunnel can die out from under the container
+            # (observed round 4: the relay's orchestrator link closed and
+            # every forwarded port stopped listening). Re-exec on CPU so the
+            # bench still emits its one JSON line, honestly labeled.
+            import sys
+
+            sys.stderr.write(
+                f"[bench] TPU path failed ({type(e).__name__}: {e}); "
+                "retrying on CPU\n"
+            )
+            sys.stderr.flush()
+            os.execve(
+                sys.executable,
+                [sys.executable, os.path.abspath(__file__)],
+                dict(os.environ, BENCH_FORCE_CPU="1"),
+            )
+        raise

@@ -256,3 +256,64 @@ def test_mh_exact_with_channel_swap():
     # bond marginal: Gaussian(R0, SR) times the r^2 measure weight
     np.testing.assert_allclose(r_swap.mean(), R0 + 2 * SR**2 / R0, atol=4e-3)
     np.testing.assert_allclose(r_swap.std(), SR, rtol=0.35)
+
+
+def test_mvn_involution_property(zm):
+    """Multivariate variant: the matrix-form swap applied twice is the
+    identity (same block-elimination algebra as the scalar case)."""
+    from timewarp_tpu.models.channel_swap import ChannelMVN, _stack_stiff, _unstack_stiff
+    import jax.scipy.linalg as jsl
+
+    rng = np.random.default_rng(4)
+    m = 2 * V - 3
+    # parameters centered so outputs stay in the valid internal range
+    # (replace_internals clamps r > 1e-3 and theta into (0, pi), which is
+    # bijective only off the clamp)
+    ti_s = np.concatenate([
+        np.asarray(extract_internals(jnp.asarray(TEMPLATE), zm)["r"])[1:],
+        np.asarray(extract_internals(jnp.asarray(TEMPLATE), zm)["theta"])[2:],
+    ])
+    def rand_L():
+        Q = 0.002 * rng.standard_normal((m, m))
+        return np.linalg.cholesky(Q @ Q.T + 1e-5 * np.eye(m))
+    def rand_A():
+        return 0.2 * rng.standard_normal((m, m)) / np.sqrt(m)
+    A_d_, A_m_ = rand_A(), rand_A()
+    mv = ChannelMVN(
+        A_d=A_d_,
+        b_d=ti_s - ti_s @ A_d_ + 0.002 * rng.standard_normal(m),
+        L_d=rand_L(),
+        A_m=A_m_,
+        b_m=ti_s - ti_s @ A_m_ + 0.002 * rng.standard_normal(m),
+        L_m=rand_L(),
+    )
+    A_d, b_d, L_d = (jnp.asarray(v, jnp.float32) for v in (mv.A_d, mv.b_d, mv.L_d))
+    A_m, b_m, L_m = (jnp.asarray(v, jnp.float32) for v in (mv.A_m, mv.b_m, mv.L_m))
+
+    def step(x, y0, u, v):
+        s_x = extract_internals(x, zm)
+        s_y0 = extract_internals(y0, zm)
+        sx, sy0 = _stack_stiff(s_x, V), _stack_stiff(s_y0, V)
+        sy = b_d + sx @ A_d + L_d @ u
+        ry, ty = _unstack_stiff(sy, s_y0, V)
+        y, ld_y = replace_internals(y0, zm, ry, ty)
+        sh = b_m + sy @ A_m + L_m @ v
+        rx, tx = _unstack_stiff(sh, s_x, V)
+        yhat0, ld_x = replace_internals(x, zm, rx, tx)
+        up = jsl.solve_triangular(L_d, sx - b_d - sy @ A_d, lower=True)
+        vp = jsl.solve_triangular(L_m, sy0 - b_m - sx @ A_m, lower=True)
+        return y, yhat0, up, vp, float(ld_y + ld_x)
+
+    x = jnp.asarray(TEMPLATE + 0.01 * rng.standard_normal((V, 3)), jnp.float32)
+    y0 = jnp.asarray(TEMPLATE + 0.01 * rng.standard_normal((V, 3)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    v = jnp.asarray(rng.standard_normal(m), jnp.float32)
+
+    y, yhat0, up, vp, ld1 = step(x, y0, u, v)
+    x2, y02, u2, v2, ld2 = step(y, yhat0, up, vp)
+
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(y02), np.asarray(y0), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v), atol=5e-3)
+    np.testing.assert_allclose(ld1, -ld2, atol=2e-3)

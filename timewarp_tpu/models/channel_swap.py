@@ -297,3 +297,140 @@ def load_channel_ar(path: str) -> Tuple[ZMatrix, ChannelAR]:
     with open(path, "rb") as f:
         d = pickle.load(f)
     return ZMatrix(**d["zmatrix"]), ChannelAR(**d["ar"])
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelMVN:
+    """Joint-Gaussian stiff-channel statistics over the stacked vector
+    s = [r[1:], theta[2:]] (dim m = 2V-3): s_next ~ N(A^T s_prev + b, L L^T).
+
+    The per-coordinate ChannelAR cannot represent the flow's cross-
+    coordinate conditional correlations (round-4 measurement: independently
+    redrawing angle internals of the conditioning state costs ~200 nats of
+    flow density; bonds ~60). The multivariate form keeps both the data
+    draw (x -> y stiff) and the model-tracking draw (y -> yhat0 stiff) in
+    the respective JOINT conditional laws, so the involutive swap's density
+    terms stay typical. |det| of the internal linear block is still exactly
+    1 (block-triangular elimination, same algebra as the scalar case)."""
+
+    A_d: np.ndarray  # [m, m]
+    b_d: np.ndarray  # [m]
+    L_d: np.ndarray  # [m, m] lower cholesky of the data residual covariance
+    A_m: np.ndarray
+    b_m: np.ndarray
+    L_m: np.ndarray
+
+
+def _stack_stiff(s, V):
+    return jnp.concatenate([s["r"][..., 1:], s["theta"][..., 2:]], axis=-1)
+
+
+def _unstack_stiff(vec, s_src, V):
+    """Slot-aligned (new_r, new_th) arrays from a stacked stiff vector,
+    inert slots taken from s_src."""
+    new_r = s_src["r"].at[1:].set(vec[: V - 1])
+    new_th = s_src["theta"].at[2:].set(vec[V - 1:])
+    return new_r, new_th
+
+
+def _mvn_reg(C: np.ndarray, Y: np.ndarray, ridge: float):
+    Cm, Ym = C.mean(0), Y.mean(0)
+    Cc, Yc = C - Cm, Y - Ym
+    G = Cc.T @ Cc / len(C)
+    lam = ridge * np.trace(G) / G.shape[0]
+    A = np.linalg.solve(G + lam * np.eye(G.shape[0]), Cc.T @ Yc / len(C))
+    b = Ym - Cm @ A
+    R = Yc - Cc @ A
+    S = R.T @ R / len(R)
+    S = S + 1e-4 * np.trace(S) / S.shape[0] * np.eye(S.shape[0])
+    return A, b, np.linalg.cholesky(S)
+
+
+def fit_channel_mvn(
+    zm: ZMatrix,
+    model_cond_coords: np.ndarray,
+    model_coords: np.ndarray,
+    data_x_coords: np.ndarray,
+    data_y_coords: np.ndarray,
+    ridge: float = 0.05,
+) -> ChannelMVN:
+    V = zm.num_atoms
+    ex = jax.jit(jax.vmap(lambda c: extract_internals(c, zm)))
+
+    def stiff(arr):
+        s = jax.device_get(ex(jnp.asarray(arr)))
+        return np.concatenate([s["r"][:, 1:], s["theta"][:, 2:]], axis=1)
+
+    A_m, b_m, L_m = _mvn_reg(stiff(model_cond_coords), stiff(model_coords), ridge)
+    A_d, b_d, L_d = _mvn_reg(stiff(data_x_coords), stiff(data_y_coords), ridge)
+    return ChannelMVN(A_d=A_d, b_d=b_d, L_d=L_d, A_m=A_m, b_m=b_m, L_m=L_m)
+
+
+def make_swap_proposal_mvn(propose_fn, reverse_logp_fn, zm: ZMatrix, mv: ChannelMVN):
+    """Multivariate involutive stiff-channel swap; same interface and
+    acceptance folding as make_swap_proposal."""
+    import jax.scipy.linalg as jsl
+
+    V = zm.num_atoms
+    m = 2 * V - 3
+    A_d = jnp.asarray(mv.A_d, jnp.float32)
+    b_d = jnp.asarray(mv.b_d, jnp.float32)
+    L_d = jnp.asarray(mv.L_d, jnp.float32)
+    A_m = jnp.asarray(mv.A_m, jnp.float32)
+    b_m = jnp.asarray(mv.b_m, jnp.float32)
+    L_m = jnp.asarray(mv.L_m, jnp.float32)
+
+    def solve_L(L, r):
+        return jsl.solve_triangular(L, r, lower=True)
+
+    def u_prime_vec(s_x_vec, s_y_vec):
+        return solve_L(L_d, s_x_vec - b_d - s_y_vec @ A_d)
+
+    def propose_swap(params, rng, x_coords, x_velocs, K):
+        k_flow, k_u, k_v = jax.random.split(rng, 3)
+        y0, yv0, lp_fwd = propose_fn(params, k_flow, x_coords, x_velocs, K)
+        s_x = extract_internals(x_coords, zm)
+        s_x_vec = _stack_stiff(s_x, V)
+        u = jax.random.normal(k_u, (K, m))
+        v = jax.random.normal(k_v, (K, m))
+
+        def one(y0_k, u_k, v_k):
+            s_y0 = extract_internals(y0_k, zm)
+            s_y0_vec = _stack_stiff(s_y0, V)
+            s_y_vec = b_d + s_x_vec @ A_d + L_d @ u_k
+            ry, ty = _unstack_stiff(s_y_vec, s_y0, V)
+            y_k, ld_y = replace_internals(y0_k, zm, ry, ty)
+            s_h_vec = b_m + s_y_vec @ A_m + L_m @ v_k
+            rx, tx = _unstack_stiff(s_h_vec, s_x, V)
+            yhat0_k, ld_xh = replace_internals(x_coords, zm, rx, tx)
+            vp = solve_L(L_m, s_y0_vec - b_m - s_x_vec @ A_m)
+            aux = (
+                _phi(u_k).sum() + _phi(v_k).sum() - _phi(vp).sum()
+            )
+            return y_k, yhat0_k, aux - ld_y - ld_xh
+
+        y, yhat0, extra = jax.vmap(one)(y0, u, v)
+        lp_rev_flow = reverse_logp_fn(params, y, yv0, yhat0, x_velocs)
+        return y, yv0, lp_fwd + extra - lp_rev_flow
+
+    def reverse_swap(params, y_coords, y_velocs, x_coords, x_velocs):
+        s_x_vec = _stack_stiff(extract_internals(x_coords, zm), V)
+        s_ys = jax.vmap(lambda y: _stack_stiff(extract_internals(y, zm), V))(
+            y_coords
+        )
+        return jax.vmap(lambda sy: _phi(u_prime_vec(s_x_vec, sy)).sum())(s_ys)
+
+    return propose_swap, reverse_swap
+
+
+def save_channel_mvn(path: str, zm: ZMatrix, mv: ChannelMVN) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(
+            {"zmatrix": dataclasses.asdict(zm), "mvn": dataclasses.asdict(mv)}, f
+        )
+
+
+def load_channel_mvn(path: str) -> Tuple[ZMatrix, "ChannelMVN"]:
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    return ZMatrix(**d["zmatrix"]), ChannelMVN(**d["mvn"])
