@@ -128,3 +128,56 @@ def test_mh_smoke_with_internal_flow(setup):
     assert np.isfinite(float(state.e_pot))
     # proposals must be valid conformations: finite, COM near x's
     assert np.isfinite(np.asarray(out.coords)).all()
+
+
+def test_internal_flow_trains(setup):
+    """NLL training on real AD pairs must improve: the family is trainable
+    with plain Adam through the pack/ghost bookkeeping."""
+    import optax
+
+    system, topo, zm, iflow, center, atom_types, mask, params = setup
+    md = np.load("/root/repo/runs/ad1_proto.npz")
+    V = topo.num_atoms
+    xs = jnp.asarray(md["coords"][0, :-1][:256])   # [N, V, 3]
+    ys = jnp.asarray(md["coords"][0, 1:][:256])
+    n_atoms = V
+
+    def pair_nll(params, x, y, key):
+        kv1, kv2, kg = jax.random.split(key, 3)
+        xv = jax.random.normal(kv1, (V, 3))
+        yv = jax.random.normal(kv2, (V, 3))
+        dead = 1.0 - iflow._grids()[0]
+        ghost = jax.random.normal(kg, (V, 3)) * dead
+        lp = iflow.log_likelihood(
+            params, atom_types, x, xv, y[None], yv[None], mask, center,
+            ghost[None],
+        )
+        return -lp[0] / n_atoms
+
+    def loss_fn(params, xb, yb, key):
+        keys = jax.random.split(key, xb.shape[0])
+        return jax.vmap(lambda x, y, k: pair_nll(params, x, y, k))(
+            xb, yb, keys
+        ).mean()
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, idx, key):
+        l, g = jax.value_and_grad(loss_fn)(params, xs[idx], ys[idx], key)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(7)
+    losses = []
+    p = params
+    for i in range(60):
+        idx = jnp.asarray(rng.choice(256, 8, replace=False))
+        key, k = jax.random.split(key)
+        p, opt_state, l = step(p, opt_state, idx, k)
+        losses.append(float(l))
+    first, last = np.mean(losses[:5]), np.mean(losses[-5:])
+    assert np.isfinite(losses).all()
+    assert last < first - 0.5, (first, last)
