@@ -77,6 +77,9 @@ def main():
     ap.add_argument("--lagtime", type=int, default=100)
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--veloc-temperature", type=float, default=None)
+    ap.add_argument("--recal", type=str, default=None,
+                    help="fitted internal-coordinate recalibration pickle "
+                         "(tools/fit_recalibration.py)")
     ap.add_argument("--md-steps", type=int, default=0,
                     help="interleaved MD steps per MH iteration (0 = flow-only)")
     ap.add_argument("--k", type=int, default=64)
@@ -142,9 +145,15 @@ def main():
         params = jax.device_put(pickle.load(f))
     atom_types1 = jnp.asarray(topo.atom_types[None])
     mask1 = jnp.zeros((1, V), bool)
+    recal = None
+    if args.recal:
+        from timewarp_tpu.models.recalibration import load_recalibration
+
+        recal = load_recalibration(args.recal)
     propose_fn, reverse_logp_fn = make_flow_proposal(
         model, atom_types1, mask1,
         temperature=args.temperature, veloc_temperature=args.veloc_temperature,
+        recalibration=recal,
     )
     energy_fn = make_amber_energy(system)
     cfg = MHConfig(num_proposal_steps=args.k, md_steps_current=args.md_steps)
@@ -177,6 +186,7 @@ def main():
     speedup1 = (ess_mh1 * mh_states_per_s) / (ess_md1 * md_frames_per_s)
     out = {
         "params": args.params,
+        "recal": args.recal,
         "temperature": args.temperature,
         "md_steps": args.md_steps,
         "acceptance": stats.acceptance_rate,
