@@ -584,6 +584,9 @@ def main():
         }
         print(f"MH {seq}: acc {res.acceptance_rate:.4f}, KL {kl:.2f}, "
               f"{res.num_proposals/dt:.0f} prop/s (V_pad {vp})", flush=True)
+        if args.report:  # incremental write: survive mid-eval interruption
+            with open(args.report, "w") as f:
+                json.dump(report, f, indent=2, default=float)
 
     if args.report:
         with open(args.report, "w") as f:
