@@ -20,10 +20,36 @@ import time
 import numpy as np
 
 
+def _tunnel_alive(host="127.0.0.1", port=8103, timeout=2.0):
+    """True iff the axon relay's remote-compile port accepts TCP connects."""
+    import socket
+
+    s = socket.socket()
+    s.settimeout(timeout)
+    try:
+        s.connect((host, port))
+        return True
+    except OSError:
+        return False
+    finally:
+        s.close()
+
+
 def main():
     import jax
 
     force_cpu = os.environ.get("BENCH_FORCE_CPU") == "1"
+    if not force_cpu and not _tunnel_alive():
+        # Fast pre-probe: when the axon relay is down its remote-compile
+        # port (the tunnel's TPU-compile path) stops listening, and the
+        # axon backend can stall for minutes before raising. Probing the
+        # port first keeps the bench line prompt. The exception fallback
+        # below still covers a relay that accepts connections but fails
+        # mid-run (observed: second round-4 outage killed a running eval).
+        import sys
+
+        sys.stderr.write("[bench] axon relay port closed; using CPU\n")
+        force_cpu = True
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
